@@ -1,0 +1,38 @@
+"""Noise-schedule hyperparameters.
+
+(reference: src/diffusion_for_multi_scale_molecular_dynamics/noise_schedulers/noise_parameters.py:5)
+"""
+
+from dataclasses import dataclass
+
+_VALID_SCHEDULE_TYPES = ("exponential", "linear")
+
+
+@dataclass(frozen=True)
+class NoiseParameters:
+    """Hyperparameters of the exploding-variance noise process."""
+
+    total_time_steps: int
+
+    schedule_type: str = "exponential"
+
+    # Time grid covers [time_delta, 1]; t = 0 is excluded because sigma(t)
+    # is ill-defined there (Song et al., appendix C).
+    time_delta: float = 1e-5
+
+    # Defaults follow "Torsional Diffusion for Molecular Conformer
+    # Generation" rescaled to the unit torus (original: 0.01*pi .. pi on
+    # [0, 2 pi)).
+    sigma_min: float = 0.005
+    sigma_max: float = 0.5
+
+    # Langevin corrector step scale (Song & Ermon).
+    corrector_step_epsilon: float = 2e-5
+
+    # Adaptive-corrector step-size ratio r (score_sde celeba default).
+    corrector_r: float = 0.17
+
+    def __post_init__(self):
+        assert self.schedule_type in _VALID_SCHEDULE_TYPES, (
+            f"The schedule type {self.schedule_type} is not supported."
+        )
