@@ -1,0 +1,72 @@
+"""Generator interface and shared sampling hyperparameters.
+
+(reference: src/diffusion_for_multi_scale_molecular_dynamics/generators/axl_generator.py:13-95)
+"""
+
+import warnings
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..namespace import AXL
+from ..ops.geometry import get_number_of_lattice_parameters
+
+
+@dataclass(kw_only=True)
+class SamplingParameters:
+    """Hyperparameters common to all AXL generators."""
+
+    algorithm: str
+    spatial_dimension: int = 3
+    num_atom_types: int
+    number_of_atoms: int
+    number_of_samples: int
+    # Generate in chunks of this size (defaults to number_of_samples).
+    sample_batchsize: Optional[int] = None
+
+    use_fixed_lattice_parameters: bool = False
+    cell_dimensions: Optional[List[float]] = None
+
+    record_samples: bool = False
+    record_samples_corrector_steps: bool = False
+    record_atom_type_update: bool = False
+
+    def __post_init__(self):
+        if self.use_fixed_lattice_parameters:
+            assert self.cell_dimensions is not None, (
+                "use_fixed_lattice_parameters requires cell_dimensions."
+            )
+            cell = np.asarray(self.cell_dimensions, dtype=np.float32)
+            if cell.ndim == 1:
+                cell = np.diag(cell)
+            assert cell.shape == (self.spatial_dimension, self.spatial_dimension), (
+                "cell_dimensions must define a [d, d] cell."
+            )
+            n_params = get_number_of_lattice_parameters(self.spatial_dimension)
+            lattice_parameters = np.zeros(n_params, dtype=np.float32)
+            lattice_parameters[: self.spatial_dimension] = np.diag(cell)
+            self.fixed_lattice_parameters = lattice_parameters
+        else:
+            warnings.warn(
+                "Using diffusion on lattice parameters. This is experimental "
+                "and not fully tested."
+            )
+            self.fixed_lattice_parameters = None
+
+    @property
+    def num_classes(self) -> int:
+        return self.num_atom_types + 1
+
+
+class AXLGenerator(ABC):
+    """Interface for AXL generators (explicit-PRNG)."""
+
+    @abstractmethod
+    def sample(self, key, number_of_samples: int) -> AXL:
+        """Draw configuration samples."""
+
+    @abstractmethod
+    def initialize(self, key, number_of_samples: int) -> AXL:
+        """Initialize samples from the fully-noised distribution."""

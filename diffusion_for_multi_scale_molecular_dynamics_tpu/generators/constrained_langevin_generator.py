@@ -1,0 +1,136 @@
+"""RePaint-constrained Langevin generator (excise-and-repaint inpainting).
+
+After every predictor step the known sub-structure is forward-noised to the
+current time index and overwritten onto the constrained atom slots, so the
+free atoms denoise *around* the fixed environment (RePaint, Lugmayr et al.).
+
+(reference: src/diffusion_for_multi_scale_molecular_dynamics/generators/constrained_langevin_generator.py:24-182)
+
+TPU-first: the repaint (fresh forward noising of the known composition at the
+step's time index + masked scatter) happens inside the same lax.scan body as
+the predictor/corrector updates — the constrained trajectory remains a single
+compiled program. The index-0 "do not noise" special case is a jnp.where.
+"""
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..namespace import AXL
+from ..noisers import (
+    get_noisy_atom_types_sample,
+    get_noisy_relative_coordinates_sample,
+)
+from ..ops.d3pm import class_index_to_onehot
+from .langevin_generator import LangevinGenerator
+from .predictor_corrector_axl_generator import PredictorCorrectorSamplingParameters
+from .sampling_constraint import SamplingConstraint
+from .trajectory_initializer import TrajectoryInitializer
+
+
+class ConstrainedLangevinGenerator(LangevinGenerator):
+    """Langevin PC generator with RePaint constraints."""
+
+    def __init__(
+        self,
+        noise_parameters,
+        sampling_parameters: PredictorCorrectorSamplingParameters,
+        axl_network: Callable,
+        sampling_constraints: SamplingConstraint,
+        trajectory_initializer: Optional[TrajectoryInitializer] = None,
+    ):
+        super().__init__(
+            noise_parameters=noise_parameters,
+            sampling_parameters=sampling_parameters,
+            axl_network=axl_network,
+            trajectory_initializer=trajectory_initializer,
+        )
+        self.sampling_constraints = sampling_constraints
+
+        n_constraints, d = (
+            sampling_constraints.constrained_relative_coordinates.shape
+        )
+        assert len(sampling_constraints.elements) == sampling_parameters.num_atom_types, (
+            "Inconsistent number of atom types vs. elements list"
+        )
+        assert n_constraints <= self.number_of_atoms, (
+            "There are more constrained positions than atoms!"
+        )
+        assert d == self.spatial_dimension, (
+            "The constrained coordinates' spatial dimension is inconsistent"
+        )
+
+        if sampling_constraints.constrained_indices is None:
+            # Constrain the first slots: immaterial for permutation-equivariant
+            # models (same convention as the reference).
+            indices = np.arange(n_constraints)
+        else:
+            indices = sampling_constraints.constrained_indices
+        self.constraint_indices = jnp.asarray(indices, dtype=jnp.int32)
+        self._known_x = jnp.asarray(
+            sampling_constraints.constrained_relative_coordinates
+        )
+        self._known_a = jnp.asarray(
+            sampling_constraints.constrained_atom_types, dtype=jnp.int32
+        )
+
+    def _apply_constraint(self, composition: AXL) -> AXL:
+        """Overwrite the constrained slots with the exact known values."""
+        batch = composition.X.shape[0]
+        x = composition.X.at[:, self.constraint_indices].set(
+            jnp.broadcast_to(
+                self._known_x, (batch,) + self._known_x.shape
+            )
+        )
+        a = composition.A.at[:, self.constraint_indices].set(
+            jnp.broadcast_to(self._known_a, (batch,) + self._known_a.shape)
+        )
+        return composition._replace(A=a, X=x)
+
+    def _noise_known_composition(
+        self, key, batch_size: int, idx
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Forward-noise the known constrained atoms to zero-based index idx-1.
+
+        At idx == 0 (the final denoising step) the clean values are returned
+        unchanged.
+        """
+        key_x, key_a = jax.random.split(key)
+        noise_idx = jnp.maximum(idx - 1, 0)
+        noise = self.schedule.noise
+        sigma = noise.sigma[noise_idx]
+
+        x0 = jnp.broadcast_to(self._known_x, (batch_size,) + self._known_x.shape)
+        a0 = jnp.broadcast_to(self._known_a, (batch_size,) + self._known_a.shape)
+
+        xt = get_noisy_relative_coordinates_sample(
+            key_x, x0, jnp.full_like(x0, sigma)
+        )
+        a0_onehot = class_index_to_onehot(a0, self.num_classes)
+        at = get_noisy_atom_types_sample(
+            key_a, a0_onehot, noise.q_bar_matrix[noise_idx]
+        )
+
+        is_final = idx == 0
+        x_known = jnp.where(is_final, x0, xt)
+        a_known = jnp.where(is_final, a0, at)
+        return x_known, a_known
+
+    def predictor_step(self, key, composition: AXL, idx) -> Tuple[AXL, AXL]:
+        """Predictor step followed by the RePaint overwrite at index idx."""
+        key_super, key_repaint = jax.random.split(key)
+        raw, predictions = super().predictor_step(key_super, composition, idx)
+
+        batch_size = raw.X.shape[0]
+        x_known, a_known = self._noise_known_composition(
+            key_repaint, batch_size, idx
+        )
+        x = raw.X.at[:, self.constraint_indices].set(x_known)
+        a = raw.A.at[:, self.constraint_indices].set(a_known)
+        return raw._replace(A=a, X=x), predictions
+
+    def sample(self, key, number_of_samples: int) -> AXL:
+        composition = super().sample(key, number_of_samples)
+        return self._apply_constraint(composition)

@@ -1,0 +1,391 @@
+r"""Annealed-Langevin predictor-corrector generator as a single lax.scan.
+
+Song & Ermon's annealed Langevin dynamics, with D3PM ancestral updates for
+atom types: for i = N-1 .. 0, one predictor step (at time index i+1) followed
+by M corrector steps (at index i).
+
+TPU-first redesign of the reference generator
+(src/diffusion_for_multi_scale_molecular_dynamics/generators/{predictor_corrector_axl_generator,
+langevin_generator}.py): the reference drives 3000 sequential network forwards
+from a Python loop with per-step host work; here the *entire trajectory* is
+one ``lax.scan`` whose body does predictor + correctors, so sampling is a
+single compiled program resident on device. Per-step quantities are gathers
+from the precomputed noise tables; the i = 0 corrector special case
+(sigma -> sigma_min, t -> 0; reference langevin_generator.py:719-726) is a
+pre-shifted table instead of a branch. Trajectory recording uses the scan's
+stacked outputs, gated by a static flag so the production path carries
+nothing.
+
+Updates:
+  * X: x <- wrap(x + w_s * (sigma*score)/sigma + w_n * z), with
+    (w_s, w_n) = (g^2_i, g_i) in the predictor and (eps_i, sqrt(2 eps_i)) in
+    the corrector;
+  * L: same, unwrapped, with sigma scaled by n^(1/d);
+  * A (predictor, optionally corrector): sample from the D3PM posterior
+    p(a_{t-1}|a_t) by Gumbel-argmax, with optional greedy unmasking and an
+    optional one-transition-per-step restriction (lifted at the final step so
+    every atom unmasks).
+"""
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..namespace import (
+    AXL,
+    CARTESIAN_FORCES,
+    NOISE,
+    NOISY_AXL_COMPOSITION,
+    TIME,
+)
+from ..noise_schedulers import NoiseParameters, build_noise_schedule
+from ..ops.d3pm import class_index_to_onehot, get_probability_at_previous_time_step
+from ..ops.gaussian_score import scale_sigma_by_number_of_atoms
+from ..ops.geometry import map_relative_coordinates_to_unit_cell
+from ..utils.sample_trajectory import SampleTrajectory
+from .axl_generator import AXLGenerator
+from .predictor_corrector_axl_generator import PredictorCorrectorSamplingParameters
+from .trajectory_initializer import (
+    FullRandomTrajectoryInitializer,
+    TrajectoryInitializer,
+    TrajectoryInitializerParameters,
+)
+
+
+class _StepRecord(NamedTuple):
+    """Per-step trajectory record (scan stacked output)."""
+
+    time_step_index: jnp.ndarray
+    composition_i: AXL
+    composition_im1: AXL
+    model_predictions_i: AXL
+
+
+class LangevinGenerator(AXLGenerator):
+    """Annealed Langevin predictor-corrector AXL generator."""
+
+    def __init__(
+        self,
+        noise_parameters: NoiseParameters,
+        sampling_parameters: PredictorCorrectorSamplingParameters,
+        axl_network: Callable,
+        trajectory_initializer: Optional[TrajectoryInitializer] = None,
+    ):
+        """Args:
+        noise_parameters: the noise schedule hyperparameters.
+        sampling_parameters: PC sampling hyperparameters.
+        axl_network: bound score network: batch dict -> AXL model outputs
+            (e.g. functools.partial(net.apply, params)).
+        trajectory_initializer: start-state provider (full random default).
+        """
+        self.noise_parameters = noise_parameters
+        self.sampling_parameters = sampling_parameters
+        self.axl_network = axl_network
+        self.num_classes = sampling_parameters.num_classes
+        self.masked_atom_type_index = self.num_classes - 1
+        self.small_epsilon = sampling_parameters.small_epsilon
+        self.number_of_atoms = sampling_parameters.number_of_atoms
+        self.spatial_dimension = sampling_parameters.spatial_dimension
+
+        self.schedule = build_noise_schedule(noise_parameters, self.num_classes)
+        noise = self.schedule.noise
+        # Corrector-side tables, pre-shifted so index i reads sigma_{i} with
+        # the i=0 extrapolation to (sigma_min, t=0) baked in.
+        self._corrector_sigma = jnp.concatenate(
+            [jnp.array([noise_parameters.sigma_min]), noise.sigma[:-1]]
+        )
+        self._corrector_time = jnp.concatenate([jnp.array([0.0]), noise.time[:-1]])
+        # Q-table index for the corrector's atom-type update: max(i - 1, 0).
+        self._corrector_q_index = jnp.maximum(
+            jnp.arange(self.schedule.total_time_steps) - 1, 0
+        )
+
+        if trajectory_initializer is None:
+            trajectory_initializer = FullRandomTrajectoryInitializer(
+                TrajectoryInitializerParameters(
+                    spatial_dimension=sampling_parameters.spatial_dimension,
+                    num_atom_types=sampling_parameters.num_atom_types,
+                    number_of_atoms=sampling_parameters.number_of_atoms,
+                    use_fixed_lattice_parameters=(
+                        sampling_parameters.use_fixed_lattice_parameters
+                    ),
+                    fixed_lattice_parameters=(
+                        sampling_parameters.fixed_lattice_parameters
+                    ),
+                )
+            )
+        self.trajectory_initializer = trajectory_initializer
+
+        self.record = sampling_parameters.record_samples
+        self.sample_trajectory_recorder = SampleTrajectory()
+        if self.record:
+            self.sample_trajectory_recorder.record("noise", self.schedule.noise)
+            self.sample_trajectory_recorder.record(
+                "noise_parameters", dataclasses.asdict(noise_parameters)
+            )
+            self.sample_trajectory_recorder.record(
+                "sampling_parameters", dataclasses.asdict(sampling_parameters)
+            )
+
+        self._compiled_sample = jax.jit(self._sample_impl, static_argnums=(1, 2))
+
+    # ------------------------------------------------------------- primitives
+
+    def initialize(self, key, number_of_samples: int) -> AXL:
+        return self.trajectory_initializer.initialize(key, number_of_samples)
+
+    def _get_model_predictions(self, composition: AXL, time, sigma) -> AXL:
+        """One network forward at scalar (time, sigma)."""
+        number_of_samples = composition.X.shape[0]
+        ones = jnp.ones((number_of_samples, 1), composition.X.dtype)
+        batch = {
+            NOISY_AXL_COMPOSITION: composition,
+            TIME: time * ones,
+            NOISE: sigma * ones,
+            CARTESIAN_FORCES: jnp.zeros_like(composition.X),
+        }
+        return self.axl_network(batch)
+
+    def _relative_coordinates_update(
+        self, x, sigma_normalized_scores, sigma_i, score_weight, noise_weight, z
+    ):
+        updated = x + score_weight * sigma_normalized_scores / sigma_i + noise_weight * z
+        return map_relative_coordinates_to_unit_cell(updated)
+
+    def _lattice_parameters_update(
+        self, lattice, sigma_normalized_scores, sigma_n_i, score_weight, noise_weight, z
+    ):
+        if self.sampling_parameters.use_fixed_lattice_parameters:
+            return lattice
+        return lattice + score_weight * sigma_normalized_scores / sigma_n_i + noise_weight * z
+
+    def _atom_types_update(
+        self,
+        key,
+        predicted_logits,
+        atom_types_i,
+        q_matrices_i,
+        q_bar_matrices_i,
+        q_bar_tm1_matrices_i,
+        one_atom_type_transition_per_step,
+    ):
+        """Sample a_{i-1} from the D3PM posterior (Gumbel-argmax).
+
+        ``one_atom_type_transition_per_step`` is a traced boolean so the last
+        scan step can lift the restriction without a separate program.
+        """
+        key_gumbel, key_binary = jax.random.split(key)
+        number_of_samples, natoms = atom_types_i.shape
+
+        one_hot_at = class_index_to_onehot(atom_types_i, self.num_classes)
+        probs = get_probability_at_previous_time_step(
+            probability_at_zeroth_timestep=predicted_logits,
+            one_hot_probability_at_current_timestep=one_hot_at,
+            q_matrices=q_matrices_i,
+            q_bar_matrices=q_bar_matrices_i,
+            q_bar_tm1_matrices=q_bar_tm1_matrices_i,
+            small_epsilon=self.small_epsilon,
+            probability_at_zeroth_timestep_are_logits=True,
+        )  # [samples, natoms, classes]
+
+        gumbel = jax.random.gumbel(
+            key_gumbel, (number_of_samples, natoms, self.num_classes), probs.dtype
+        )
+
+        if self.sampling_parameters.atom_type_greedy_sampling:
+            probs, gumbel = self._adjust_for_greedy_sampling(
+                key_binary, probs, atom_types_i, gumbel
+            )
+
+        values = jnp.log(probs + self.small_epsilon) + gumbel
+        max_gumbel_values = jnp.max(values, axis=-1)
+        sampled_atom_types = jnp.argmax(values, axis=-1)
+
+        restricted = self._restrict_to_one_transition(
+            atom_types_i, max_gumbel_values, sampled_atom_types
+        )
+        return jnp.where(
+            one_atom_type_transition_per_step, restricted, sampled_atom_types
+        )
+
+    def _restrict_to_one_transition(
+        self, current_atom_types, max_gumbel_values, sampled_atom_types
+    ):
+        """Keep only the most likely proposed transition per sample."""
+        changed = sampled_atom_types != current_atom_types
+        candidate_values = jnp.where(changed, max_gumbel_values, -jnp.inf)
+        best_atom = jnp.argmax(candidate_values, axis=-1)  # [samples]
+        natoms = current_atom_types.shape[-1]
+        is_best = jax.nn.one_hot(best_atom, natoms, dtype=bool)
+        return jnp.where(is_best, sampled_atom_types, current_atom_types)
+
+    def _adjust_for_greedy_sampling(
+        self, key, one_step_transition_probs, atom_types_i, gumbel
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Greedy unmasking: once any atom is real, decide mask-vs-unmask with
+        a Bernoulli draw and pick the unmasked type deterministically.
+
+        (reference: langevin_generator.py:382-439)
+        """
+        all_masked = jnp.all(
+            atom_types_i == self.masked_atom_type_index, axis=-1
+        )  # [samples]
+        atom_is_masked = atom_types_i == self.masked_atom_type_index
+
+        binary_sample = jax.random.uniform(key, atom_types_i.shape)
+        unmask_this_atom = binary_sample > one_step_transition_probs[..., -1]
+        do_greedy = (~all_masked[:, None]) & unmask_this_atom & atom_is_masked
+
+        mask_probs = jnp.where(do_greedy, 0.0, one_step_transition_probs[..., -1])
+        one_step_transition_probs = one_step_transition_probs.at[..., -1].set(
+            mask_probs
+        )
+        # Zero Gumbel noise = deterministic argmax for samples already seeded
+        # with a real atom type.
+        gumbel = jnp.where(all_masked[:, None, None], gumbel, 0.0)
+        return one_step_transition_probs, gumbel
+
+    # ------------------------------------------------------------------ steps
+
+    def _sigma_n(self, sigma):
+        return scale_sigma_by_number_of_atoms(
+            sigma, self.number_of_atoms, self.spatial_dimension
+        )
+
+    def predictor_step(self, key, composition: AXL, idx) -> Tuple[AXL, AXL]:
+        """One predictor step at zero-based table index ``idx`` (time i+1 -> i)."""
+        noise = self.schedule.noise
+        t_i = noise.time[idx]
+        sigma_i = noise.sigma[idx]
+        g_i = noise.g[idx]
+        g2_i = noise.g_squared[idx]
+
+        predictions = self._get_model_predictions(composition, t_i, sigma_i)
+
+        key_a, key_x, key_l = jax.random.split(key, 3)
+
+        # The one-transition restriction must not apply at the final step:
+        # every remaining MASK has to resolve (reference: langevin_generator.py:597-604).
+        one_transition = jnp.logical_and(
+            self.sampling_parameters.one_atom_type_transition_per_step, idx != 0
+        )
+        a_im1 = self._atom_types_update(
+            key_a,
+            predictions.A,
+            composition.A,
+            noise.q_matrix[idx],
+            noise.q_bar_matrix[idx],
+            noise.q_bar_tm1_matrix[idx],
+            one_atom_type_transition_per_step=one_transition,
+        )
+
+        z_x = jax.random.normal(key_x, composition.X.shape, composition.X.dtype)
+        x_im1 = self._relative_coordinates_update(
+            composition.X, predictions.X, sigma_i, g2_i, g_i, z_x
+        )
+
+        z_l = jax.random.normal(key_l, composition.L.shape, composition.L.dtype)
+        l_im1 = self._lattice_parameters_update(
+            composition.L, predictions.L, self._sigma_n(sigma_i), g2_i, g_i, z_l
+        )
+
+        return AXL(A=a_im1, X=x_im1, L=l_im1), predictions
+
+    def _coordinates_corrector_step_size(self, idx, sigma_i, scores, z):
+        """eps_i from the tabulated Langevin dynamics (index 0..N-1)."""
+        return self.schedule.langevin.epsilon[idx]
+
+    def _lattice_corrector_step_size(self, idx, sigma_n_i, scores, z):
+        return self.schedule.langevin.epsilon[idx]
+
+    def corrector_step(self, key, composition: AXL, idx) -> Tuple[AXL, AXL]:
+        """One corrector step at zero-based index ``idx`` (0 extrapolates to sigma_min)."""
+        sigma_i = self._corrector_sigma[idx]
+        t_i = self._corrector_time[idx]
+        sigma_n_i = self._sigma_n(sigma_i)
+
+        predictions = self._get_model_predictions(composition, t_i, sigma_i)
+
+        key_a, key_x, key_l = jax.random.split(key, 3)
+
+        z_x = jax.random.normal(key_x, composition.X.shape, composition.X.dtype)
+        eps_x = self._coordinates_corrector_step_size(idx, sigma_i, predictions.X, z_x)
+        x_corrected = self._relative_coordinates_update(
+            composition.X, predictions.X, sigma_i, eps_x, jnp.sqrt(2.0 * eps_x), z_x
+        )
+
+        z_l = jax.random.normal(key_l, composition.L.shape, composition.L.dtype)
+        eps_l = self._lattice_corrector_step_size(idx, sigma_n_i, predictions.L, z_l)
+        l_corrected = self._lattice_parameters_update(
+            composition.L, predictions.L, sigma_n_i, eps_l, jnp.sqrt(2.0 * eps_l), z_l
+        )
+
+        if self.sampling_parameters.atom_type_transition_in_corrector:
+            noise = self.schedule.noise
+            q_idx = self._corrector_q_index[idx]
+            a_corrected = self._atom_types_update(
+                key_a,
+                predictions.A,
+                composition.A,
+                noise.q_matrix[q_idx],
+                noise.q_bar_matrix[q_idx],
+                noise.q_bar_tm1_matrix[q_idx],
+                one_atom_type_transition_per_step=jnp.asarray(
+                    self.sampling_parameters.one_atom_type_transition_per_step
+                ),
+            )
+        else:
+            a_corrected = composition.A
+
+        return AXL(A=a_corrected, X=x_corrected, L=l_corrected), predictions
+
+    # ------------------------------------------------------------------- scan
+
+    def _sample_impl(self, key, number_of_samples: int, record: bool):
+        key_init, key_scan = jax.random.split(key)
+        composition = self.initialize(key_init, number_of_samples)
+        start = self.trajectory_initializer.create_start_time_step_index(
+            self.schedule.total_time_steps
+        )
+        end = self.trajectory_initializer.create_end_time_step_index()
+        indices = jnp.arange(start - 1, end - 1, -1)
+
+        n_corr = self.sampling_parameters.number_of_corrector_steps
+
+        def body(carry, idx):
+            composition, key = carry
+            key, key_pred = jax.random.split(key)
+            composition_i = composition
+            composition, predictions = self.predictor_step(
+                key_pred, composition, idx
+            )
+            composition_pred = composition
+            for _ in range(n_corr):
+                key, key_corr = jax.random.split(key)
+                composition, _ = self.corrector_step(key_corr, composition, idx)
+            if record:
+                ys = _StepRecord(
+                    time_step_index=idx + 1,
+                    composition_i=composition_i,
+                    composition_im1=composition_pred,
+                    model_predictions_i=predictions,
+                )
+            else:
+                ys = None
+            return (composition, key), ys
+
+        (composition, _), records = jax.lax.scan(
+            body, (composition, key_scan), indices
+        )
+        return composition, records
+
+    def sample(self, key, number_of_samples: int) -> AXL:
+        """Generate ``number_of_samples`` compositions (one compiled scan)."""
+        composition, records = self._compiled_sample(
+            key, number_of_samples, self.record
+        )
+        if self.record and records is not None:
+            self.sample_trajectory_recorder.record("predictor_step", records)
+        return composition

@@ -1,0 +1,37 @@
+from .analytical_score_network import (
+    AnalyticalScoreNetwork,
+    AnalyticalScoreNetworkConfig,
+    EquivariantAnalyticalScoreNetwork,
+    EquivariantAnalyticalScoreNetworkConfig,
+)
+from .egnn_score_network import EGNNScoreNetwork, EGNNScoreNetworkConfig
+from .mlp_score_network import MLPScoreNetwork, MLPScoreNetworkConfig
+from .score_network import (
+    ScoreNetworkConfig,
+    guided_forward,
+    impose_non_mask_atomic_type_prediction,
+    validate_score_network_batch,
+)
+from .score_network_factory import (
+    SCORE_NETWORKS_BY_ARCH,
+    create_score_network,
+    create_score_network_config,
+)
+
+__all__ = [
+    "ScoreNetworkConfig",
+    "MLPScoreNetwork",
+    "MLPScoreNetworkConfig",
+    "EGNNScoreNetwork",
+    "EGNNScoreNetworkConfig",
+    "AnalyticalScoreNetwork",
+    "AnalyticalScoreNetworkConfig",
+    "EquivariantAnalyticalScoreNetwork",
+    "EquivariantAnalyticalScoreNetworkConfig",
+    "create_score_network",
+    "create_score_network_config",
+    "SCORE_NETWORKS_BY_ARCH",
+    "guided_forward",
+    "impose_non_mask_atomic_type_prediction",
+    "validate_score_network_batch",
+]

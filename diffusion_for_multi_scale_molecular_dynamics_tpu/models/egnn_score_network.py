@@ -1,0 +1,254 @@
+"""EGNN score network — the production architecture.
+
+E(n)-equivariant GNN (Satorras et al.) adapted to the torus: relative
+coordinates are uplifted to a Euclidean embedding via Bloch waves
+z = [cos(2 pi K x), sin(2 pi K x)], message-passed, and the coordinate output
+is projected back to a fractional-coordinate score through antisymmetric
+per-direction generators (equivalent to the reference's block-diagonal Gamma
+matrices, egnn_score_network.py:130-160).
+
+TPU-first redesign (functional parity with
+src/diffusion_for_multi_scale_molecular_dynamics/models/{egnn,egnn_score_network,egnn_utils}.py,
+different algorithm):
+
+  * The reference builds dynamic COO edge lists (KeOps) and scatter-adds
+    per-edge messages. Dynamic edge counts and scatters are XLA-hostile, and
+    at 8..216 atoms the graph is tiny: here message passing is *dense* over
+    [batch, n, n, features] with a boolean/weight mask. Every MLP becomes a
+    large batched matmul on the MXU; masked mean/sum replaces
+    unsorted_segment_mean/sum; there is no gather/scatter at all.
+  * Periodic edges use minimum-image distances over the 3^d image shell; the
+    cell is clipped to >= 2.2 * radial_cutoff exactly like the reference
+    (egnn_score_network.py:236) which also guarantees the minimum image is
+    the only one inside the cutoff. With drop_duplicate_edges=False, image
+    multiplicity within the cutoff enters as an integer edge weight instead
+    of repeated COO rows.
+  * Padded atoms (static max-atom batches) are excluded via ATOM_MASK.
+"""
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..namespace import ATOM_MASK, AXL, NOISE, NOISY_AXL_COMPOSITION
+from ..ops.geometry import (
+    get_positions_from_coordinates,
+    map_lattice_parameters_to_unit_cell_vectors,
+)
+from ..ops.lattice_shells import get_positive_bloch_wave_vectors
+from ..ops.neighbors import get_periodic_images
+from .score_network import ScoreNetworkConfig, impose_non_mask_atomic_type_prediction
+
+
+@dataclass(frozen=True, kw_only=True)
+class EGNNScoreNetworkConfig(ScoreNetworkConfig):
+    """Hyperparameters of the EGNN score network (reference defaults)."""
+
+    architecture: str = "egnn"
+    number_of_bloch_wave_shells: int = 1
+    message_n_hidden_dimensions: int = 1
+    message_hidden_dimensions_size: int = 16
+    node_n_hidden_dimensions: int = 1
+    node_hidden_dimensions_size: int = 32
+    coordinate_n_hidden_dimensions: int = 1
+    coordinate_hidden_dimensions_size: int = 32
+    residual: bool = True
+    attention: bool = False
+    normalize: bool = False
+    tanh: bool = False
+    coords_agg: str = "mean"
+    message_agg: str = "mean"
+    n_layers: int = 4
+    edges: str = "fully_connected"
+    radial_cutoff: Optional[float] = None
+    drop_duplicate_edges: bool = True
+    # bfloat16 runs the message/node MLPs on the MXU at full rate; geometry
+    # (uplift, radial, projection) always stays float32.
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        assert self.edges in ("fully_connected", "radial_cutoff"), (
+            f"Edges type should be fully_connected or radial_cutoff. Got {self.edges}"
+        )
+        if self.edges == "fully_connected":
+            assert self.radial_cutoff is None, (
+                "A radial cutoff is inconsistent with fully_connected edges."
+            )
+        else:
+            assert isinstance(self.radial_cutoff, float), (
+                "A float radial_cutoff is required for edges=radial_cutoff."
+            )
+        assert self.coords_agg in ("mean", "sum")
+        assert self.message_agg in ("mean", "sum")
+
+
+def _mlp(widths, name, dtype, final_activation=True, use_final_bias=True):
+    """A list of (Dense, activate?) specs; applied by _apply_mlp."""
+    layers = []
+    for i, w in enumerate(widths):
+        act = final_activation or i < len(widths) - 1
+        layers.append((w, act, f"{name}_{i}", use_final_bias or i < len(widths) - 1))
+    return layers
+
+
+class _DenseEGCL(nn.Module):
+    """One dense masked E(n)-equivariant layer.
+
+    Message m_ij = phi_e(h_i, h_j, |z_i - z_j|^2), aggregated over sources j
+    at target i with the edge weight matrix; coordinate update
+    z_i += agg_j (z_i - z_j) phi_x(m_ij); node update h_i = h_i + phi_h(h_i, m_i).
+    """
+
+    config: EGNNScoreNetworkConfig
+
+    @nn.compact
+    def __call__(self, h, z, edge_weights):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        eps = 1e-8
+
+        # Geometry in fp32.
+        diff = z[:, :, None, :] - z[:, None, :, :]  # [B, N, N, D]
+        radial = jnp.sum(diff**2, axis=-1, keepdims=True)  # [B, N, N, 1]
+
+        if cfg.normalize:
+            # Smoothly normalized direction: tanh(|r|^2)/sqrt(|r|^2 + eps^2)
+            # vanishes at overlap and saturates to a unit vector.
+            diff = diff * (jnp.tanh(radial) / jnp.sqrt(radial + eps**2))
+
+        n = h.shape[1]
+        h_i = jnp.broadcast_to(h[:, :, None, :], (h.shape[0], n, n, h.shape[-1]))
+        h_j = jnp.broadcast_to(h[:, None, :, :], (h.shape[0], n, n, h.shape[-1]))
+        msg_in = jnp.concatenate(
+            [h_i, h_j, radial.astype(dtype)], axis=-1
+        ).astype(dtype)
+
+        m = msg_in
+        for _ in range(cfg.message_n_hidden_dimensions + 1):
+            m = nn.silu(nn.Dense(cfg.message_hidden_dimensions_size, dtype=dtype)(m))
+        if cfg.attention:
+            m = m * nn.sigmoid(nn.Dense(1, dtype=dtype)(m))
+
+        w = edge_weights[..., None].astype(dtype)  # [B, N, N, 1]
+        degree = jnp.clip(jnp.sum(w, axis=2), min=1.0)  # [B, N, 1]
+
+        # Aggregate messages over sources j.
+        m_sum = jnp.sum(m * w, axis=2)
+        m_agg = m_sum / degree if cfg.message_agg == "mean" else m_sum
+
+        # Coordinate update (fp32 geometry).
+        phi_x = m
+        for _ in range(cfg.coordinate_n_hidden_dimensions + 1):
+            phi_x = nn.silu(
+                nn.Dense(cfg.coordinate_hidden_dimensions_size, dtype=dtype)(phi_x)
+            )
+        phi_x = nn.Dense(1, use_bias=False, dtype=dtype)(phi_x)
+        if cfg.tanh:
+            phi_x = nn.tanh(phi_x)
+        trans = diff * phi_x.astype(jnp.float32) * edge_weights[..., None]
+        trans_sum = jnp.sum(trans, axis=2)
+        z_agg = (
+            trans_sum / degree.astype(jnp.float32)
+            if cfg.coords_agg == "mean"
+            else trans_sum
+        )
+        z = z + z_agg
+
+        # Node update.
+        node_in = jnp.concatenate([h.astype(dtype), m_agg], axis=-1)
+        u = node_in
+        for _ in range(cfg.node_n_hidden_dimensions + 1):
+            u = nn.silu(nn.Dense(cfg.node_hidden_dimensions_size, dtype=dtype)(u))
+        u = nn.Dense(h.shape[-1], dtype=dtype)(u)
+        h_new = u.astype(h.dtype)
+        if cfg.residual:
+            h_new = h + h_new
+        return h_new, z
+
+
+class EGNNScoreNetwork(nn.Module):
+    """EGNN over the Bloch-uplifted torus with Gamma-projected X scores."""
+
+    config: EGNNScoreNetworkConfig
+
+    def _edge_weights(
+        self, composition, atom_mask: Optional[jnp.ndarray]
+    ) -> jnp.ndarray:
+        """Edge weight matrix [batch, n, n]: 0 = no edge, k = image multiplicity."""
+        cfg = self.config
+        x = composition.X
+        batch_size, n, d = x.shape
+
+        no_self = 1.0 - jnp.eye(n, dtype=jnp.float32)
+        if cfg.edges == "fully_connected":
+            weights = jnp.broadcast_to(no_self, (batch_size, n, n))
+        else:
+            # Clip the box so it cannot collapse below twice the cutoff
+            # (same guard as the reference), build min-image distances.
+            lattice = jnp.clip(composition.L, min=2.2 * cfg.radial_cutoff)
+            lattice = lattice.at[:, d:].set(0.0)
+            cell = map_lattice_parameters_to_unit_cell_vectors(lattice)
+            cart = get_positions_from_coordinates(x, cell)
+            images = get_periodic_images(cart, cell)
+            within = (images.distances <= cfg.radial_cutoff) & ~images.self_mask[None]
+            if cfg.drop_duplicate_edges:
+                weights = jnp.any(within, axis=-1).astype(jnp.float32)
+            else:
+                weights = jnp.sum(within, axis=-1).astype(jnp.float32)
+            weights = weights * no_self
+
+        if atom_mask is not None:
+            pair = atom_mask[:, :, None] * atom_mask[:, None, :]
+            weights = weights * pair
+        return weights
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], conditional: bool = False) -> AXL:
+        cfg = self.config
+        composition = batch[NOISY_AXL_COMPOSITION]
+        x = composition.X
+        batch_size, n, d = x.shape
+
+        bloch = jnp.asarray(
+            get_positive_bloch_wave_vectors(cfg.number_of_bloch_wave_shells, d),
+            dtype=jnp.float32,
+        )  # [K, d]
+
+        # Uplift to the Bloch embedding space; layout per wave: (cos, sin).
+        kr = 2.0 * jnp.pi * jnp.einsum("bnd,kd->bnk", x, bloch)
+        z0 = jnp.stack([jnp.cos(kr), jnp.sin(kr)], axis=-1).reshape(
+            batch_size, n, -1
+        )  # [B, N, 2K]
+
+        sigma = batch[NOISE]  # [B, 1]
+        onehot = jax.nn.one_hot(composition.A, cfg.num_classes, dtype=jnp.float32)
+        h = jnp.concatenate(
+            [jnp.broadcast_to(sigma[:, None, :], (batch_size, n, 1)), onehot],
+            axis=-1,
+        )
+
+        atom_mask = batch.get(ATOM_MASK)
+        edge_weights = self._edge_weights(composition, atom_mask)
+
+        h = nn.Dense(cfg.node_hidden_dimensions_size, name="embedding_in")(h)
+        z = z0
+        for layer in range(cfg.n_layers):
+            h, z = _DenseEGCL(cfg, name=f"egcl_{layer}")(h, z, edge_weights)
+
+        logits = nn.Dense(cfg.num_classes, name="node_classification")(h)
+
+        # Project the uplifted output back to fractional-coordinate scores:
+        # S^alpha = z0 . Gamma^alpha . z_out with block-antisymmetric Gamma;
+        # per Bloch wave b the block contributes sin_b*zc_b - cos_b*zs_b
+        # scaled by K_b^alpha (algebraically identical to the reference's
+        # block_diag Gamma contraction, egnn_score_network.py:276).
+        zc0, zs0 = z0[..., 0::2], z0[..., 1::2]
+        zc, zs = z[..., 0::2], z[..., 1::2]
+        wave_amplitude = zs0 * zc - zc0 * zs  # [B, N, K]
+        scores = jnp.einsum("bnk,kd->bnd", wave_amplitude, bloch)
+
+        output = AXL(A=logits, X=scores, L=jnp.zeros_like(composition.L))
+        return impose_non_mask_atomic_type_prediction(output)

@@ -75,7 +75,12 @@ def get_periodic_images(
         + cart_shifts[:, None, None, :, :]
         - cartesian_positions[:, :, None, None, :]
     )
-    dist = jnp.sqrt(jnp.sum(disp**2, axis=-1))
+    # Zero-distance self pairs would make sqrt's gradient inf, poisoning
+    # downstream grads (0 * inf = NaN) even though they are masked; guard the
+    # argument so masked lanes have exact-zero gradients.
+    r2 = jnp.sum(disp**2, axis=-1)
+    nonzero = r2 > 1e-12
+    dist = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
 
     n_images = shifts.shape[0]
     zero_shift = n_images // 2  # shifts are lexicographic; the all-zero one is central

@@ -1,0 +1,128 @@
+"""Training CLI: ``python -m diffusion_for_multi_scale_molecular_dynamics_tpu.train_diffusion``.
+
+Mirrors the reference's entry point surface
+(src/diffusion_for_multi_scale_molecular_dynamics/train_diffusion.py:33-226):
+one YAML config + an output directory; an existing output directory resumes
+(with a config-consistency check), --start-from-scratch wipes it.
+"""
+
+import argparse
+import logging
+import os
+import shutil
+import sys
+from typing import Any, Dict
+
+from .data.element_types import ElementTypes
+from .data.instantiate_data_module import load_data_module
+from .training.callbacks import create_all_callbacks
+from .training.checkpointing import CheckpointManager
+from .training.instantiate_diffusion_model import load_diffusion_model
+from .training.loggers import create_all_loggers
+from .training.optimizer import (
+    create_optimizer_parameters,
+    create_scheduler_parameters,
+)
+from .training.trainer import Trainer
+from .utils.configuration import load_and_backup_hyperparameters
+from .utils.logging_utils import configure_logging, log_exp_details
+from .utils.reproducibility import set_seed
+
+logger = logging.getLogger(__name__)
+
+
+def build_argument_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train an AXL diffusion model")
+    parser.add_argument("--config", required=True, help="experiment YAML config")
+    parser.add_argument("--output", required=True, help="output directory")
+    parser.add_argument(
+        "--data", default=None, help="LAMMPS raw data directory (for data_source=LAMMPS)"
+    )
+    parser.add_argument(
+        "--processed_datadir", default=None, help="processed parquet cache directory"
+    )
+    parser.add_argument(
+        "--start-from-scratch",
+        action="store_true",
+        help="wipe the output directory instead of resuming",
+    )
+    return parser
+
+
+def run(args, hyper_params: Dict[str, Any]) -> Dict[str, float]:
+    """Configure every component and run the training loop."""
+    seed = hyper_params.get("seed")
+    if seed is not None:
+        set_seed(seed)
+
+    ElementTypes.validate_elements(hyper_params["elements"])
+
+    datamodule = load_data_module(hyper_params, args)
+    score_network, diffusion_config = load_diffusion_model(hyper_params)
+
+    optimizer_parameters = create_optimizer_parameters(hyper_params["optimizer"])
+    # The top-level gradient_clipping knob feeds the optax chain.
+    clip = hyper_params.get("gradient_clipping", 0) or None
+    if clip:
+        from dataclasses import replace
+
+        optimizer_parameters = replace(optimizer_parameters, gradient_clipping=clip)
+    scheduler_parameters = create_scheduler_parameters(hyper_params.get("scheduler"))
+
+    checkpoint_config = hyper_params.get("model_checkpoint", {})
+    checkpoint_manager = CheckpointManager(
+        args.output,
+        monitor=checkpoint_config.get("monitor", "validation_epoch_loss"),
+        mode=checkpoint_config.get("mode", "min"),
+    )
+
+    loggers = create_all_loggers(
+        hyper_params.get("logging", ["csv"]), args.output,
+        hyper_params.get("exp_name", "experiment"),
+    )
+    callbacks = create_all_callbacks(
+        hyper_params, hyper_params.get("spatial_dimension", 3)
+    )
+
+    validation_hooks = []
+    if "diffusion_sampling" in hyper_params:
+        from .sampling.validation_sampling import create_validation_sampling_hook
+
+        validation_hooks.append(
+            create_validation_sampling_hook(hyper_params, args.output)
+        )
+
+    trainer = Trainer(
+        score_network=score_network,
+        diffusion_config=diffusion_config,
+        optimizer_parameters=optimizer_parameters,
+        scheduler_parameters=scheduler_parameters,
+        output_directory=args.output,
+        max_epoch=hyper_params.get("max_epoch", 10),
+        loggers=loggers,
+        callbacks=callbacks,
+        checkpoint_manager=checkpoint_manager,
+        seed=seed if seed is not None else 1234,
+        log_every_n_steps=hyper_params.get("log_every_n_steps", 1),
+        validation_hooks=validation_hooks,
+    )
+    return trainer.fit(datamodule)
+
+
+def main(argv=None) -> None:
+    args = build_argument_parser().parse_args(argv)
+
+    if args.start_from_scratch and os.path.isdir(args.output):
+        shutil.rmtree(args.output)
+    os.makedirs(args.output, exist_ok=True)
+
+    configure_logging(args.output)
+    log_exp_details(__file__, args)
+
+    hyper_params = load_and_backup_hyperparameters(args.config, args.output)
+    metrics = run(args, hyper_params)
+    logger.info("Training finished: %s", metrics)
+
+
+if __name__ == "__main__":
+    main()

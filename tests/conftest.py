@@ -8,7 +8,10 @@ multi-chip path). The flags must be set before JAX initializes its backend.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment points JAX_PLATFORMS at the axon TPU
+# tunnel, whose per-dispatch latency makes tests ~100x slower; tests must be
+# hermetic and run on the virtual 8-device CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,238 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_for_multi_scale_molecular_dynamics_tpu.namespace import (
+    AXL,
+    CARTESIAN_FORCES,
+    NOISE,
+    NOISY_AXL_COMPOSITION,
+    TIME,
+)
+from diffusion_for_multi_scale_molecular_dynamics_tpu.models import (
+    AnalyticalScoreNetwork,
+    AnalyticalScoreNetworkConfig,
+    EGNNScoreNetwork,
+    EGNNScoreNetworkConfig,
+    MLPScoreNetwork,
+    MLPScoreNetworkConfig,
+    create_score_network,
+    create_score_network_config,
+    validate_score_network_batch,
+)
+
+BATCH, NATOMS, D = 2, 4, 3
+NUM_TYPES = 2  # + MASK -> 3 classes
+
+
+def make_batch(key, natoms=NATOMS, with_forces=True):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x = jax.random.uniform(k1, (BATCH, natoms, D))
+    a = jax.random.randint(k2, (BATCH, natoms), 0, NUM_TYPES + 1)
+    lattice = jnp.concatenate(
+        [5.0 + jax.random.uniform(k3, (BATCH, D)), jnp.zeros((BATCH, D))], axis=-1
+    )
+    batch = {
+        NOISY_AXL_COMPOSITION: AXL(A=a, X=x, L=lattice),
+        TIME: jnp.full((BATCH, 1), 0.5),
+        NOISE: jnp.full((BATCH, 1), 0.25),
+    }
+    if with_forces:
+        batch[CARTESIAN_FORCES] = jax.random.normal(k4, (BATCH, natoms, D))
+    return batch
+
+
+def mlp_config(**kwargs):
+    defaults = dict(
+        num_atom_types=NUM_TYPES,
+        number_of_atoms=NATOMS,
+        n_hidden_dimensions=2,
+        hidden_dimensions_size=16,
+        noise_embedding_dimensions_size=8,
+        relative_coordinates_embedding_dimensions_size=8,
+        time_embedding_dimensions_size=8,
+        atom_type_embedding_dimensions_size=8,
+        lattice_parameters_embedding_dimensions_size=8,
+    )
+    defaults.update(kwargs)
+    return MLPScoreNetworkConfig(**defaults)
+
+
+def check_output(output, natoms=NATOMS):
+    assert output.A.shape == (BATCH, natoms, NUM_TYPES + 1)
+    assert output.X.shape == (BATCH, natoms, D)
+    assert output.L.shape == (BATCH, 2 * D)
+    # MASK logit must be impossible.
+    assert np.all(np.asarray(output.A[..., -1]) == -np.inf)
+    assert np.isfinite(np.asarray(output.X)).all()
+
+
+def test_mlp_forward(rng_key):
+    batch = make_batch(rng_key)
+    net = MLPScoreNetwork(mlp_config())
+    params = net.init(rng_key, batch, False)
+    out = jax.jit(net.apply, static_argnums=2)(params, batch, False)
+    check_output(out)
+
+
+def test_mlp_conditional_changes_output(rng_key):
+    batch = make_batch(rng_key)
+    net = MLPScoreNetwork(mlp_config(conditional_prob=0.5))
+    params = net.init(rng_key, batch, True)
+    out_cond = net.apply(params, batch, True)
+    out_uncond = net.apply(params, batch, False)
+    assert not np.allclose(np.asarray(out_cond.X), np.asarray(out_uncond.X))
+
+
+def test_mlp_permutation_invariant_network_is_equivariant(rng_key):
+    batch = make_batch(rng_key, with_forces=False)
+    net = MLPScoreNetwork(mlp_config(use_permutation_invariance=True))
+    params = net.init(rng_key, batch, False)
+    out = net.apply(params, batch, False)
+
+    perm = np.array([2, 0, 3, 1])
+    comp = batch[NOISY_AXL_COMPOSITION]
+    permuted_batch = dict(batch)
+    permuted_batch[NOISY_AXL_COMPOSITION] = comp._replace(
+        A=comp.A[:, perm], X=comp.X[:, perm]
+    )
+    out_perm = net.apply(params, permuted_batch, False)
+    np.testing.assert_allclose(
+        np.asarray(out_perm.X), np.asarray(out.X)[:, perm], atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("edges", ["fully_connected", "radial_cutoff"])
+def test_egnn_forward(rng_key, edges):
+    batch = make_batch(rng_key)
+    cfg = EGNNScoreNetworkConfig(
+        num_atom_types=NUM_TYPES,
+        edges=edges,
+        radial_cutoff=3.0 if edges == "radial_cutoff" else None,
+        n_layers=2,
+    )
+    net = EGNNScoreNetwork(cfg)
+    params = net.init(rng_key, batch, False)
+    out = jax.jit(net.apply, static_argnums=2)(params, batch, False)
+    check_output(out)
+    assert np.all(np.asarray(out.L) == 0.0)
+
+
+def test_egnn_permutation_equivariance(rng_key):
+    batch = make_batch(rng_key)
+    cfg = EGNNScoreNetworkConfig(num_atom_types=NUM_TYPES, n_layers=2)
+    net = EGNNScoreNetwork(cfg)
+    params = net.init(rng_key, batch, False)
+    out = net.apply(params, batch, False)
+
+    perm = np.array([3, 1, 0, 2])
+    comp = batch[NOISY_AXL_COMPOSITION]
+    permuted_batch = dict(batch)
+    permuted_batch[NOISY_AXL_COMPOSITION] = comp._replace(
+        A=comp.A[:, perm], X=comp.X[:, perm]
+    )
+    out_perm = net.apply(params, permuted_batch, False)
+    np.testing.assert_allclose(
+        np.asarray(out_perm.X), np.asarray(out.X)[:, perm], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_perm.A)[..., :-1], np.asarray(out.A)[:, perm][..., :-1],
+        atol=1e-5,
+    )
+
+
+def test_egnn_translation_invariance(rng_key):
+    # Scores on the torus must be invariant under rigid translations.
+    batch = make_batch(rng_key)
+    cfg = EGNNScoreNetworkConfig(num_atom_types=NUM_TYPES, n_layers=2)
+    net = EGNNScoreNetwork(cfg)
+    params = net.init(rng_key, batch, False)
+    out = net.apply(params, batch, False)
+
+    shift = jnp.array([0.13, 0.47, 0.81])
+    comp = batch[NOISY_AXL_COMPOSITION]
+    translated = dict(batch)
+    translated[NOISY_AXL_COMPOSITION] = comp._replace(
+        X=jnp.remainder(comp.X + shift, 1.0)
+    )
+    out_t = net.apply(params, translated, False)
+    np.testing.assert_allclose(np.asarray(out_t.X), np.asarray(out.X), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_t.A)[..., :-1], np.asarray(out.A)[..., :-1], atol=5e-5
+    )
+
+
+def test_analytical_score_network_matches_single_gaussian(rng_key):
+    # With one atom and one equilibrium position, the analytical score equals
+    # the wrapped-Gaussian score with the effective sigma.
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.ops.wrapped_gaussian_score import (
+        get_coordinates_sigma_normalized_score,
+    )
+
+    eq = ((0.5, 0.5, 0.5),)
+    cfg = AnalyticalScoreNetworkConfig(
+        num_atom_types=1,
+        number_of_atoms=1,
+        kmax=4,
+        equilibrium_relative_coordinates=eq,
+        sigma_d=0.01,
+    )
+    net = AnalyticalScoreNetwork(cfg)
+    x = jnp.array([[[0.55, 0.40, 0.62]], [[0.2, 0.8, 0.5]]])
+    sigma_t = 0.1
+    batch = {
+        NOISY_AXL_COMPOSITION: AXL(
+            A=jnp.zeros((2, 1), jnp.int32),
+            X=x,
+            L=jnp.concatenate([jnp.ones((2, 3)), jnp.zeros((2, 3))], -1),
+        ),
+        TIME: jnp.full((2, 1), 0.4),
+        NOISE: jnp.full((2, 1), sigma_t),
+    }
+    out = net.apply({}, batch, False)
+
+    sigma_eff = np.sqrt(0.01**2 + sigma_t**2)
+    u = jnp.remainder(x - jnp.asarray(eq)[None], 1.0)
+    expected = (
+        sigma_t
+        * get_coordinates_sigma_normalized_score(
+            u, jnp.full_like(u, sigma_eff), kmax=4
+        )
+        / sigma_eff
+    )
+    np.testing.assert_allclose(np.asarray(out.X), np.asarray(expected), atol=1e-5)
+
+
+def test_factory_builds_all():
+    global_cfg = dict(elements=["Si", "Ge"], max_atom=NATOMS, spatial_dimension=3)
+    mlp = create_score_network(
+        create_score_network_config(
+            dict(
+                architecture="mlp",
+                n_hidden_dimensions=1,
+                hidden_dimensions_size=8,
+                noise_embedding_dimensions_size=4,
+                relative_coordinates_embedding_dimensions_size=4,
+                time_embedding_dimensions_size=4,
+                atom_type_embedding_dimensions_size=4,
+                lattice_parameters_embedding_dimensions_size=4,
+            ),
+            global_cfg,
+        )
+    )
+    assert isinstance(mlp, MLPScoreNetwork)
+    egnn = create_score_network(
+        create_score_network_config(dict(architecture="egnn"), global_cfg)
+    )
+    assert isinstance(egnn, EGNNScoreNetwork)
+
+
+def test_validate_batch_catches_bad_coordinates(rng_key):
+    batch = make_batch(rng_key)
+    cfg = EGNNScoreNetworkConfig(num_atom_types=NUM_TYPES)
+    validate_score_network_batch(batch, cfg)  # passes
+    comp = batch[NOISY_AXL_COMPOSITION]
+    batch[NOISY_AXL_COMPOSITION] = comp._replace(X=comp.X + 1.5)
+    with pytest.raises(AssertionError):
+        validate_score_network_batch(batch, cfg)
