@@ -118,6 +118,13 @@ class LangevinGenerator(AXLGenerator):
             )
         self.trajectory_initializer = trajectory_initializer
 
+        # One compiled scan covers up to this many time steps; longer
+        # trajectories chain several calls of the same compiled chunk
+        # (compile once, run many) carrying the composition on device. This
+        # bounds single-call execution time (remote-TPU RPC limits) without
+        # touching the math.
+        self.max_steps_per_call = 250
+
         self.record = sampling_parameters.record_samples
         self.sample_trajectory_recorder = SampleTrajectory()
         if self.record:
@@ -129,7 +136,7 @@ class LangevinGenerator(AXLGenerator):
                 "sampling_parameters", dataclasses.asdict(sampling_parameters)
             )
 
-        self._compiled_sample = jax.jit(self._sample_impl, static_argnums=(1, 2))
+        self._compiled_scan_chunk = jax.jit(self._scan_chunk, static_argnums=(3,))
 
     # ------------------------------------------------------------- primitives
 
@@ -343,15 +350,8 @@ class LangevinGenerator(AXLGenerator):
 
     # ------------------------------------------------------------------- scan
 
-    def _sample_impl(self, key, number_of_samples: int, record: bool):
-        key_init, key_scan = jax.random.split(key)
-        composition = self.initialize(key_init, number_of_samples)
-        start = self.trajectory_initializer.create_start_time_step_index(
-            self.schedule.total_time_steps
-        )
-        end = self.trajectory_initializer.create_end_time_step_index()
-        indices = jnp.arange(start - 1, end - 1, -1)
-
+    def _scan_chunk(self, composition: AXL, key, indices, record: bool):
+        """Scan the PC update over one chunk of descending time indices."""
         n_corr = self.sampling_parameters.number_of_corrector_steps
 
         def body(carry, idx):
@@ -376,16 +376,37 @@ class LangevinGenerator(AXLGenerator):
                 ys = None
             return (composition, key), ys
 
-        (composition, _), records = jax.lax.scan(
-            body, (composition, key_scan), indices
+        (composition, key), records = jax.lax.scan(
+            body, (composition, key), indices
         )
-        return composition, records
+        return composition, key, records
 
     def sample(self, key, number_of_samples: int) -> AXL:
-        """Generate ``number_of_samples`` compositions (one compiled scan)."""
-        composition, records = self._compiled_sample(
-            key, number_of_samples, self.record
+        """Generate ``number_of_samples`` compositions.
+
+        The whole reverse trajectory runs on device as chained compiled scans
+        of at most ``max_steps_per_call`` steps each.
+        """
+        key_init, key_scan = jax.random.split(key)
+        composition = self.initialize(key_init, number_of_samples)
+        start = self.trajectory_initializer.create_start_time_step_index(
+            self.schedule.total_time_steps
         )
-        if self.record and records is not None:
-            self.sample_trajectory_recorder.record("predictor_step", records)
+        end = self.trajectory_initializer.create_end_time_step_index()
+        all_indices = jnp.arange(start - 1, end - 1, -1)
+
+        chunk = self.max_steps_per_call
+        all_records = []
+        for offset in range(0, all_indices.shape[0], chunk):
+            indices = all_indices[offset : offset + chunk]
+            composition, key_scan, records = self._compiled_scan_chunk(
+                composition, key_scan, indices, self.record
+            )
+            if self.record and records is not None:
+                all_records.append(records)
+        if self.record and all_records:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *all_records
+            )
+            self.sample_trajectory_recorder.record("predictor_step", stacked)
         return composition
