@@ -381,6 +381,26 @@ class LangevinGenerator(AXLGenerator):
         )
         return composition, key, records
 
+    def sample_from_noisy_composition(
+        self,
+        key,
+        starting_noisy_composition: AXL,
+        starting_step_index: int,
+        ending_step_index: int = 0,
+    ) -> AXL:
+        """Run the PC reverse trajectory from one-based index start down to end.
+
+        Fully traceable (one lax.scan over the fixed index window), so it can
+        be embedded in larger jitted computations (e.g. the consistency
+        regularizer); for standalone use, indices must be static ints.
+        (reference: predictor_corrector_axl_generator.py:112-147)
+        """
+        indices = jnp.arange(starting_step_index - 1, ending_step_index - 1, -1)
+        composition, _, _ = self._scan_chunk(
+            starting_noisy_composition, key, indices, False
+        )
+        return composition
+
     def sample(self, key, number_of_samples: int) -> AXL:
         """Generate ``number_of_samples`` compositions.
 

@@ -68,6 +68,8 @@ class AXLDiffusionConfig:
     kmax_target_score: int = 4
     use_fixed_lattice_parameters: bool = False
     use_optimal_transport: bool = False
+    # Optional auxiliary-loss regularizer (activated after its burn-in).
+    regularizer: Any = None
 
 
 def get_coordinates_target_normalized_score(
@@ -87,13 +89,16 @@ def make_generic_step(
     score_network,
     config: AXLDiffusionConfig,
     schedule: Optional[NoiseSchedule] = None,
+    apply_regularizer: bool = False,
 ) -> Callable:
     """Build the pure generic step.
 
     Returns:
         generic_step(params, batch, key, conditional: bool (static))
             -> (weighted_loss, aux dict)
-        where batch holds the *clean* composition.
+        where batch holds the *clean* composition. With
+        ``apply_regularizer=True`` (and a regularizer configured) the
+        weighted auxiliary loss is added inside the same compiled program.
     """
     num_classes = config.score_network_config.num_classes
     spatial_dimension = config.score_network_config.spatial_dimension
@@ -105,6 +110,8 @@ def make_generic_step(
     )
     if schedule is None:
         schedule = build_noise_schedule(config.noise_parameters, num_classes)
+
+    regularizer = config.regularizer if apply_regularizer else None
 
     def generic_step(params, batch: Dict[str, Any], key, conditional: bool = False):
         key_noise, key_net = jax.random.split(key)
@@ -186,8 +193,20 @@ def make_generic_step(
         )
         weighted_loss = jnp.mean(per_sample)
 
+        regularizer_loss = jnp.asarray(0.0, dtype=weighted_loss.dtype)
+        if regularizer is not None:
+            def bound_score_fn(b, cond=False):
+                return score_network.apply(params, b, cond)
+
+            key_net, key_reg = jax.random.split(key_net)
+            regularizer_loss = regularizer.compute_weighted_regularizer_loss(
+                bound_score_fn, network_batch, key_reg
+            )
+            weighted_loss = weighted_loss + regularizer_loss
+
         aux = {
             "loss": weighted_loss,
+            "regularizer_loss": regularizer_loss,
             "loss_X": jnp.mean(mean_x),
             "loss_A": jnp.mean(mean_a),
             "loss_L": jnp.mean(mean_l),
@@ -220,6 +239,7 @@ def make_train_step(generic_step, optimizer) -> Callable:
             "loss_X": aux["loss_X"],
             "loss_A": aux["loss_A"],
             "loss_L": aux["loss_L"],
+            "regularizer_loss": aux.get("regularizer_loss", 0.0),
             "grad_norm": optax_global_norm(grads),
         }
         return params, opt_state, aux

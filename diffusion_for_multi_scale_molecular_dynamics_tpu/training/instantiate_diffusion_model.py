@@ -36,7 +36,17 @@ def load_diffusion_model(hyper_params: Dict[str, Any]) -> Tuple[Any, AXLDiffusio
     data_config = hyper_params.get("data", {})
     noise_parameters = create_noise_parameters(dict(data_config.get("noise", {})))
 
+    regularizer = None
+    if "regularizer" in model_dict:
+        from ..regularizers import create_regularizer, create_regularizer_parameters
+
+        regularizer_parameters = create_regularizer_parameters(
+            model_dict["regularizer"], global_params
+        )
+        regularizer = create_regularizer(regularizer_parameters)
+
     diffusion_config = AXLDiffusionConfig(
+        regularizer=regularizer,
         score_network_config=score_network_config,
         loss_parameters=loss_parameters,
         noise_parameters=noise_parameters,

@@ -87,24 +87,36 @@ class Trainer:
         self.global_step = 0
         self._rng = random.Random(seed)
 
-        generic_step = make_generic_step(score_network, diffusion_config)
+        conditional_options = (
+            (False, True)
+            if diffusion_config.score_network_config.conditional_prob > 0
+            else (False,)
+        )
+        regularizer_options = (
+            (False, True) if diffusion_config.regularizer is not None else (False,)
+        )
+        generic_steps = {
+            regularized: make_generic_step(
+                score_network, diffusion_config, apply_regularizer=regularized
+            )
+            for regularized in regularizer_options
+        }
         self._train_step = {
-            conditional: jax.jit(
+            (conditional, regularized): jax.jit(
                 make_train_step(
-                    functools.partial(generic_step, conditional=conditional),
+                    functools.partial(
+                        generic_steps[regularized], conditional=conditional
+                    ),
                     self.optimizer,
                 )
             )
-            for conditional in (
-                (False, True)
-                if diffusion_config.score_network_config.conditional_prob > 0
-                else (False,)
-            )
+            for conditional in conditional_options
+            for regularized in regularizer_options
         }
-        # Validation always runs unconditionally (reference passes
-        # no_conditional=True in validation_step).
+        # Validation always runs unconditionally and without regularization
+        # (reference passes no_conditional=True in validation_step).
         self._eval_step = jax.jit(
-            functools.partial(generic_step, conditional=False)
+            functools.partial(generic_steps[False], conditional=False)
         )
 
     # ------------------------------------------------------------------ setup
@@ -197,6 +209,10 @@ class Trainer:
         for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.time()
             train_losses = []
+            regularizer = self.diffusion_config.regularizer
+            regularized = bool(
+                regularizer is not None and regularizer.can_regularizer_run(epoch)
+            )
             for batch in datamodule.train_batches():
                 key, step_key = jax.random.split(key)
                 conditional = (
@@ -204,7 +220,8 @@ class Trainer:
                     and self._rng.random() < conditional_prob
                 )
                 batch = self._device_put(batch)
-                self.params, self.opt_state, aux = self._train_step[conditional](
+                step = self._train_step[(conditional, regularized)]
+                self.params, self.opt_state, aux = step(
                     self.params, self.opt_state, batch, step_key
                 )
                 self.global_step += 1
@@ -282,6 +299,7 @@ class Trainer:
             ("loss_X", "epoch_loss_X"),
             ("loss_A", "epoch_loss_A"),
             ("loss_L", "epoch_loss_L"),
+            ("regularizer_loss", "epoch_regularizer_loss"),
         ):
             values = [float(a[name]) for a in auxes if name in a]
             if values:
