@@ -65,6 +65,7 @@ class ValidationSampler:
         self.energy_ks_metric = KolmogorovSmirnovMetric()
         self.structure_ks_metric = KolmogorovSmirnovMetric()
         self._reference_energies_registered = False
+        self._last_predicted_energies = None
 
     def should_run(self, epoch: int) -> bool:
         if epoch < self.first_record_epoch:
@@ -118,6 +119,23 @@ class ValidationSampler:
                     self._structure_distances(composition)
                 )
 
+    def _log_energy_histogram(self, trainer, epoch: int) -> None:
+        """Per-epoch reference-vs-generated energy histogram figure.
+
+        (the sampling-visualization diagnostics of the reference,
+        callbacks/sampling_visualization_callback.py:49-399)
+        """
+        if self._last_predicted_energies is None or not self.energy_ks_metric._reference:
+            return
+        reference = np.concatenate(self.energy_ks_metric._reference)
+        figure = _histogram_figure(
+            reference, self._last_predicted_energies, "energy (eV)"
+        )
+        trainer.log_figure("sampled_energy_distribution", figure, epoch)
+        import matplotlib.pyplot as plt
+
+        plt.close(figure)
+
     def __call__(self, trainer, epoch: int, metrics: Dict[str, float]) -> None:
         if not self.should_run(epoch):
             return
@@ -141,6 +159,7 @@ class ValidationSampler:
                 cartesian_positions=np.asarray(sample_batch[CARTESIAN_POSITIONS]),
             )
             self.energy_ks_metric.register_predicted_samples(energies)
+            self._last_predicted_energies = np.asarray(energies)
             metrics["validation_sampled_energy_mean"] = float(np.mean(energies))
             if self.energy_ks_metric.has_data:
                 distance, pvalue = self.energy_ks_metric.compute()
@@ -158,6 +177,11 @@ class ValidationSampler:
                 metrics["validation_ks_pvalue_structure"] = pvalue
             self.structure_ks_metric._predicted.clear()
 
+        try:
+            self._log_energy_histogram(trainer, epoch)
+        except ImportError:
+            logger.warning("matplotlib unavailable; skipping energy histogram")
+
         if self.metrics_parameters.record_samples and self.output_directory:
             samples_dir = os.path.join(self.output_directory, "samples")
             os.makedirs(samples_dir, exist_ok=True)
@@ -171,6 +195,23 @@ class ValidationSampler:
                     ),
                     fh,
                 )
+
+
+def _histogram_figure(reference, predicted, xlabel):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    bins = 40
+    ax.hist(reference, bins=bins, alpha=0.5, density=True, label="reference")
+    ax.hist(predicted, bins=bins, alpha=0.5, density=True, label="generated")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("density")
+    ax.legend()
+    fig.tight_layout()
+    return fig
 
 
 def create_validation_sampling_hook(hyper_params: Dict[str, Any], output_directory: str):

@@ -120,8 +120,20 @@ def main(argv=None) -> None:
     log_exp_details(__file__, args)
 
     hyper_params = load_and_backup_hyperparameters(args.config, args.output)
-    metrics = run(args, hyper_params)
+
+    from .utils.main_utils import report_to_orion_if_on
+
+    early_stopping_metric = hyper_params.get("early_stopping", {}).get(
+        "metric", "validation_epoch_loss"
+    )
+    try:
+        metrics = run(args, hyper_params)
+    except RuntimeError:
+        # Report the crashed trial (e.g. device OOM) so HPO prunes it.
+        report_to_orion_if_on(None, run_crashed=True)
+        raise
     logger.info("Training finished: %s", metrics)
+    report_to_orion_if_on(metrics.get(early_stopping_metric))
 
 
 if __name__ == "__main__":

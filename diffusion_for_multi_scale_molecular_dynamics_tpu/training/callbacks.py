@@ -144,4 +144,10 @@ def create_all_callbacks(
             sample_every_n_epochs=cfg.get("sample_every_n_epochs", 25),
             spatial_dimension=spatial_dimension,
         )
+    if "score_viewer" in hyper_params:
+        from .score_viewer_callback import instantiate_score_viewer_callback
+
+        callbacks["score_viewer"] = instantiate_score_viewer_callback(
+            hyper_params["score_viewer"], hyper_params
+        )
     return callbacks
