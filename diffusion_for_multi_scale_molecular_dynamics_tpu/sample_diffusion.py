@@ -95,6 +95,26 @@ def create_samples_and_write_to_disk(
         sampling_constraints=sampling_constraints,
     )
 
+    # Multi-chip: shard the sample axis over the data mesh (embarrassingly
+    # parallel trajectories, one compiled SPMD scan).
+    from .parallel.mesh import make_data_mesh
+
+    mesh = make_data_mesh()
+    if mesh is not None and hasattr(generator, "_scan_chunk"):
+        batch_size = sampling_parameters.sample_batchsize or (
+            sampling_parameters.number_of_samples
+        )
+        if batch_size % mesh.devices.size == 0:
+            from .parallel.sharded_sampling import shard_generator_over_mesh
+
+            shard_generator_over_mesh(generator, mesh)
+        else:
+            logger.warning(
+                "sample batch %d not divisible by %d devices; sampling on one device",
+                batch_size,
+                mesh.devices.size,
+            )
+
     key = jax.random.PRNGKey(args.seed)
     logger.info(
         "Generating %d samples...", sampling_parameters.number_of_samples
