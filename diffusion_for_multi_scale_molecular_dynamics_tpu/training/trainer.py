@@ -197,6 +197,19 @@ class Trainer:
         """Run the full training; returns the final epoch's metrics."""
         self.datamodule = datamodule  # exposed to validation hooks
         example = next(iter(datamodule.train_batches()))
+        if self.mesh is not None:
+            from ..namespace import RELATIVE_COORDINATES
+
+            batch_size = example[RELATIVE_COORDINATES].shape[0]
+            if batch_size % self.mesh.devices.size != 0:
+                logger.warning(
+                    "batch size %d is not divisible by the %d-device mesh; "
+                    "running single-device (make batch_size a multiple of the "
+                    "device count to enable data parallelism)",
+                    batch_size,
+                    self.mesh.devices.size,
+                )
+                self.mesh = None
         self._initialize_state(example)
         self._maybe_resume()
 
