@@ -1,0 +1,88 @@
+"""Statistical fidelity of the PC sampler with an exact (analytical) score.
+
+If the score is exact, annealed-Langevin PC sampling must reproduce the data
+distribution: a narrow Gaussian of width sigma_d around the equilibrium
+coordinates. This validates the sampler end-to-end (schedule conventions,
+update rules, key plumbing) independently of training.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from diffusion_for_multi_scale_molecular_dynamics_tpu.generators import (
+    LangevinGenerator,
+    PredictorCorrectorSamplingParameters,
+)
+from diffusion_for_multi_scale_molecular_dynamics_tpu.models import (
+    AnalyticalScoreNetwork,
+    AnalyticalScoreNetworkConfig,
+)
+from diffusion_for_multi_scale_molecular_dynamics_tpu.noise_schedulers import (
+    NoiseParameters,
+)
+
+NATOMS, D = 2, 3
+SIGMA_D = 0.04
+EQUILIBRIUM = [[0.3, 0.4, 0.5], [0.8, 0.9, 0.1]]
+
+
+@pytest.mark.slow
+def test_pc_sampler_reproduces_gaussian_data_distribution():
+    config = AnalyticalScoreNetworkConfig(
+        num_atom_types=1,
+        number_of_atoms=NATOMS,
+        kmax=4,
+        equilibrium_relative_coordinates=EQUILIBRIUM,
+        sigma_d=SIGMA_D,
+        use_permutation_invariance=True,
+    )
+    network = AnalyticalScoreNetwork(config)
+
+    generator = LangevinGenerator(
+        NoiseParameters(total_time_steps=100, sigma_min=0.001, sigma_max=0.5),
+        PredictorCorrectorSamplingParameters(
+            num_atom_types=1,
+            number_of_atoms=NATOMS,
+            number_of_samples=128,
+            number_of_corrector_steps=2,
+            use_fixed_lattice_parameters=True,
+            cell_dimensions=[1.0] * D,
+        ),
+        lambda batch: network.apply({}, batch, False),
+    )
+    samples = generator.sample(jax.random.PRNGKey(0), 128)
+    x = np.asarray(samples.X)  # [128, 2, 3]
+
+    equilibrium = np.asarray(EQUILIBRIUM)
+    # Assign each sampled atom to its closest equilibrium site (the data
+    # distribution is permutation symmetrized).
+    displacements = []
+    for sample in x:
+        for atom in sample:
+            delta = np.mod(atom - equilibrium, 1.0)
+            delta = np.where(delta > 0.5, delta - 1.0, delta)
+            distances = np.linalg.norm(delta, axis=-1)
+            displacements.append(delta[np.argmin(distances)])
+    displacements = np.asarray(displacements)
+
+    # Every atom should sit near one of the two modes...
+    assert np.abs(displacements).max() < 5 * SIGMA_D
+    # ...with near-zero mean displacement and the right spread per axis.
+    np.testing.assert_allclose(
+        displacements.mean(axis=0), 0.0, atol=4 * SIGMA_D / np.sqrt(len(displacements))
+    )
+    measured_std = displacements.std(axis=0)
+    np.testing.assert_allclose(measured_std, SIGMA_D, rtol=0.25)
+
+    # Both modes must actually be occupied in (nearly) every sample.
+    occupied_both = 0
+    for sample in x:
+        assigned = set()
+        for atom in sample:
+            delta = np.mod(atom - equilibrium, 1.0)
+            delta = np.where(delta > 0.5, delta - 1.0, delta)
+            assigned.add(int(np.argmin(np.linalg.norm(delta, axis=-1))))
+        if assigned == {0, 1}:
+            occupied_both += 1
+    assert occupied_both / len(x) > 0.95
