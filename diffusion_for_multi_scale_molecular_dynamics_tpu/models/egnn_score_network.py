@@ -68,6 +68,9 @@ class EGNNScoreNetworkConfig(ScoreNetworkConfig):
     # bfloat16 runs the message/node MLPs on the MXU at full rate; geometry
     # (uplift, radial, projection) always stays float32.
     compute_dtype: str = "float32"
+    # Pallas-fused message block: the [B, N, N, H] per-pair activations stay
+    # in VMEM (see egnn_fused.py). Requires attention=False, normalize=False.
+    use_fused_message_block: bool = False
 
     def __post_init__(self):
         assert self.edges in ("fully_connected", "radial_cutoff"), (
@@ -83,6 +86,11 @@ class EGNNScoreNetworkConfig(ScoreNetworkConfig):
             )
         assert self.coords_agg in ("mean", "sum")
         assert self.message_agg in ("mean", "sum")
+        if self.use_fused_message_block:
+            assert not self.attention and not self.normalize, (
+                "the fused message block supports attention=False, "
+                "normalize=False"
+            )
 
 
 def _mlp(widths, name, dtype, final_activation=True, use_final_bias=True):
@@ -113,6 +121,9 @@ class _DenseEGCL(nn.Module):
         # Geometry in fp32.
         diff = z[:, :, None, :] - z[:, None, :, :]  # [B, N, N, D]
         radial = jnp.sum(diff**2, axis=-1, keepdims=True)  # [B, N, N, 1]
+
+        if cfg.use_fused_message_block:
+            return self._fused_call(h, z, edge_weights, diff, radial[..., 0])
 
         if cfg.normalize:
             # Smoothly normalized direction: tanh(|r|^2)/sqrt(|r|^2 + eps^2)
@@ -158,7 +169,12 @@ class _DenseEGCL(nn.Module):
         z = z + z_agg
 
         # Node update.
-        node_in = jnp.concatenate([h.astype(dtype), m_agg], axis=-1)
+        h_new = self._node_update(h, m_agg, dtype)
+        return h_new, z
+
+    def _node_update(self, h, m_agg, dtype):
+        cfg = self.config
+        node_in = jnp.concatenate([h.astype(dtype), m_agg.astype(dtype)], axis=-1)
         u = node_in
         for _ in range(cfg.node_n_hidden_dimensions + 1):
             u = nn.silu(nn.Dense(cfg.node_hidden_dimensions_size, dtype=dtype)(u))
@@ -166,6 +182,45 @@ class _DenseEGCL(nn.Module):
         h_new = u.astype(h.dtype)
         if cfg.residual:
             h_new = h + h_new
+        return h_new
+
+    def _fused_call(self, h, z, edge_weights, diff, radial):
+        """Pallas-fused message+gate path (egnn_fused.py)."""
+        from .egnn_fused import fused_message_block, init_message_block_params
+
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        n_message_layers = cfg.message_n_hidden_dimensions + 1
+        n_coordinate_layers = cfg.coordinate_n_hidden_dimensions + 1
+
+        params = self.param(
+            "fused_message_block",
+            init_message_block_params,
+            h.shape[-1],
+            cfg.message_hidden_dimensions_size,
+            n_message_layers,
+            n_coordinate_layers,
+            cfg.coordinate_hidden_dimensions_size,
+        )
+        m_agg_sum, phi = fused_message_block(
+            params,
+            h,
+            radial,
+            edge_weights,
+            n_message_layers,
+            n_coordinate_layers,
+            cfg.tanh,
+        )
+
+        degree = jnp.clip(jnp.sum(edge_weights, axis=2), min=1.0)[..., None]
+        m_agg = m_agg_sum / degree if cfg.message_agg == "mean" else m_agg_sum
+
+        trans = diff * (phi * edge_weights)[..., None]
+        trans_sum = jnp.sum(trans, axis=2)
+        z_agg = trans_sum / degree if cfg.coords_agg == "mean" else trans_sum
+        z = z + z_agg
+
+        h_new = self._node_update(h, m_agg, dtype)
         return h_new, z
 
 
