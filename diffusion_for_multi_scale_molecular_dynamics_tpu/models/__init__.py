@@ -5,6 +5,10 @@ from .analytical_score_network import (
     EquivariantAnalyticalScoreNetworkConfig,
 )
 from .egnn_score_network import EGNNScoreNetwork, EGNNScoreNetworkConfig
+from .equivariant_score_network import (
+    EquivariantScoreNetwork,
+    EquivariantScoreNetworkConfig,
+)
 from .mlp_score_network import MLPScoreNetwork, MLPScoreNetworkConfig
 from .score_network import (
     ScoreNetworkConfig,
@@ -24,6 +28,8 @@ __all__ = [
     "MLPScoreNetworkConfig",
     "EGNNScoreNetwork",
     "EGNNScoreNetworkConfig",
+    "EquivariantScoreNetwork",
+    "EquivariantScoreNetworkConfig",
     "AnalyticalScoreNetwork",
     "AnalyticalScoreNetworkConfig",
     "EquivariantAnalyticalScoreNetwork",

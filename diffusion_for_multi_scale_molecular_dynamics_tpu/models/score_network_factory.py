@@ -12,11 +12,20 @@ from .analytical_score_network import (
     EquivariantAnalyticalScoreNetworkConfig,
 )
 from .egnn_score_network import EGNNScoreNetwork, EGNNScoreNetworkConfig
+from .equivariant_score_network import (
+    EquivariantScoreNetwork,
+    EquivariantScoreNetworkConfig,
+)
 from .mlp_score_network import MLPScoreNetwork, MLPScoreNetworkConfig
 
 SCORE_NETWORKS_BY_ARCH = {
     "mlp": MLPScoreNetwork,
     "egnn": EGNNScoreNetwork,
+    # "diffusion_mace" / "mace": the higher-order-equivariant capability
+    # slots, implemented TPU-first as scalar+vector message passing (see
+    # equivariant_score_network.py).
+    "diffusion_mace": EquivariantScoreNetwork,
+    "mace": EquivariantScoreNetwork,
     "analytical": AnalyticalScoreNetwork,
     "equivariant_analytical": EquivariantAnalyticalScoreNetwork,
 }
@@ -24,6 +33,8 @@ SCORE_NETWORKS_BY_ARCH = {
 SCORE_NETWORK_CONFIGS_BY_ARCH = {
     "mlp": MLPScoreNetworkConfig,
     "egnn": EGNNScoreNetworkConfig,
+    "diffusion_mace": EquivariantScoreNetworkConfig,
+    "mace": EquivariantScoreNetworkConfig,
     "analytical": AnalyticalScoreNetworkConfig,
     "equivariant_analytical": EquivariantAnalyticalScoreNetworkConfig,
 }
