@@ -39,7 +39,10 @@ from ..ops.geometry import (
     map_lattice_parameters_to_unit_cell_vectors,
 )
 from ..ops.lattice_shells import get_positive_bloch_wave_vectors
-from ..ops.neighbors import get_periodic_images
+from ..ops.neighbors import (
+    get_orthogonal_min_image_displacements,
+    get_periodic_images,
+)
 from .score_network import ScoreNetworkConfig, impose_non_mask_atomic_type_prediction
 
 
@@ -242,16 +245,22 @@ class EGNNScoreNetwork(nn.Module):
             weights = jnp.broadcast_to(no_self, (batch_size, n, n))
         else:
             # Clip the box so it cannot collapse below twice the cutoff
-            # (same guard as the reference), build min-image distances.
+            # (same guard as the reference); with the box > 2 x cutoff the
+            # minimum image decides edge membership.
             lattice = jnp.clip(composition.L, min=2.2 * cfg.radial_cutoff)
             lattice = lattice.at[:, d:].set(0.0)
             cell = map_lattice_parameters_to_unit_cell_vectors(lattice)
-            cart = get_positions_from_coordinates(x, cell)
-            images = get_periodic_images(cart, cell)
-            within = (images.distances <= cfg.radial_cutoff) & ~images.self_mask[None]
             if cfg.drop_duplicate_edges:
-                weights = jnp.any(within, axis=-1).astype(jnp.float32)
+                # Fast path: direct fractional min-image, no 3^d expansion.
+                disp = get_orthogonal_min_image_displacements(x, cell)
+                within = jnp.sum(disp**2, axis=-1) <= cfg.radial_cutoff**2
+                weights = within.astype(jnp.float32)
             else:
+                cart = get_positions_from_coordinates(x, cell)
+                images = get_periodic_images(cart, cell)
+                within = (
+                    images.distances <= cfg.radial_cutoff
+                ) & ~images.self_mask[None]
                 weights = jnp.sum(within, axis=-1).astype(jnp.float32)
             weights = weights * no_self
 

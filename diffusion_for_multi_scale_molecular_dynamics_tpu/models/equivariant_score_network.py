@@ -33,11 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from ..namespace import ATOM_MASK, AXL, NOISE, NOISY_AXL_COMPOSITION, TIME
-from ..ops.geometry import (
-    get_positions_from_coordinates,
-    map_lattice_parameters_to_unit_cell_vectors,
-)
-from ..ops.neighbors import get_periodic_images
+from ..ops.geometry import map_lattice_parameters_to_unit_cell_vectors
+from ..ops.neighbors import get_orthogonal_min_image_displacements
 from .score_network import ScoreNetworkConfig, impose_non_mask_atomic_type_prediction
 
 _EXACT = jax.lax.Precision.HIGHEST
@@ -101,18 +98,15 @@ class EquivariantScoreNetwork(nn.Module):
         lattice = jnp.clip(composition.L, min=2.2 * cfg.radial_cutoff)
         lattice = lattice.at[:, d:].set(0.0)
         cell = map_lattice_parameters_to_unit_cell_vectors(lattice)
-        cart = get_positions_from_coordinates(x, cell)
-        images = get_periodic_images(cart, cell)
 
-        # Minimum-image displacements within the cutoff.
-        dist = jnp.where(images.self_mask[None], jnp.inf, images.distances)
-        min_idx = jnp.argmin(dist, axis=-1)  # [B, N, N]
-        r_ij = jnp.min(dist, axis=-1)
-        disp = jnp.take_along_axis(
-            images.displacements, min_idx[..., None, None], axis=3
-        )[..., 0, :]  # [B, N, N, d], r_j + shift - r_i
+        # Minimum-image displacements, directly in fractional space (the box
+        # exceeds 2 x cutoff by construction; no 3^d image expansion).
+        disp = get_orthogonal_min_image_displacements(x, cell)  # [B, N, N, d]
+        r2 = jnp.sum(disp**2, axis=-1)
+        nonzero = r2 > 1e-12
+        r_ij = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
 
-        within = (r_ij <= cfg.radial_cutoff) & jnp.isfinite(r_ij)
+        within = (r_ij <= cfg.radial_cutoff) & nonzero
         atom_mask = batch.get(ATOM_MASK)
         if atom_mask is not None:
             within = within & atom_mask[:, :, None] & atom_mask[:, None, :]
@@ -121,9 +115,7 @@ class EquivariantScoreNetwork(nn.Module):
         safe_r = jnp.where(r_ij > 1e-8, r_ij, 1.0)
         unit = disp / safe_r[..., None]
         rbf, envelope = _radial_basis(
-            jnp.where(jnp.isfinite(r_ij), r_ij, cfg.radial_cutoff),
-            cfg.radial_cutoff,
-            cfg.number_of_radial_basis,
+            r_ij, cfg.radial_cutoff, cfg.number_of_radial_basis
         )
 
         # Initial features: species one-hot + sigma + time, like the

@@ -100,6 +100,32 @@ def get_min_image_pair_distances(
     return jnp.min(dist, axis=-1)
 
 
+def get_orthogonal_min_image_displacements(
+    relative_coordinates: jnp.ndarray, basis_vectors: jnp.ndarray
+) -> jnp.ndarray:
+    """Minimum-image displacements r_j - r_i for *orthogonal* cells, O(n^2 d).
+
+    Wrapping each fractional component into [-1/2, 1/2) yields the minimum
+    image directly — no 3^d image expansion (and none of its [.., 3^d, d]
+    HBM intermediates). Exact whenever the box exceeds twice the interaction
+    cutoff, which the EGNN/equivariant edge paths guarantee by clipping the
+    cell (the reference's 2.2 x cutoff guard).
+
+    Args:
+        relative_coordinates: [batch, natoms, d]
+        basis_vectors: diagonal cells, [batch, d, d]
+
+    Returns:
+        displacements disp[b, i, j] = min-image (r_j - r_i), [batch, n, n, d].
+    """
+    delta = (
+        relative_coordinates[:, None, :, :] - relative_coordinates[:, :, None, :]
+    )
+    delta = delta - jnp.round(delta)  # each component into [-1/2, 1/2)
+    lengths = jnp.diagonal(basis_vectors, axis1=-2, axis2=-1)  # [batch, d]
+    return delta * lengths[:, None, None, :]
+
+
 class NeighborTable(NamedTuple):
     """Fixed-capacity per-atom neighbor table (static shapes).
 
