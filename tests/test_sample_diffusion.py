@@ -72,3 +72,41 @@ def test_sample_diffusion_cli(tmp_path):
     assert np.isfinite(energies["energies"]).all()
 
     assert os.path.exists(os.path.join(sample_output, "trajectories.pkl"))
+
+    # Constrained (RePaint) sampling through the CLI: the constrained atom
+    # must carry the exact requested coordinates and type in every sample.
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.generators import (
+        SamplingConstraint,
+        write_sampling_constraint,
+    )
+
+    constraint = SamplingConstraint(
+        elements=["Si"],
+        constrained_relative_coordinates=np.array([[0.3, 0.4, 0.5]], np.float32),
+        constrained_atom_types=np.array([0], np.int32),
+        constrained_indices=np.array([0], np.int32),
+    )
+    constraint_path = str(tmp_path / "constraint.pkl")
+    write_sampling_constraint(constraint, constraint_path)
+
+    constrained_output = str(tmp_path / "constrained_output")
+    sample_main(
+        [
+            "--config",
+            str(sampling_config_path),
+            "--checkpoint",
+            train_output,
+            "--output",
+            constrained_output,
+            "--sampling-constraints",
+            constraint_path,
+        ]
+    )
+    with open(os.path.join(constrained_output, "samples.pkl"), "rb") as fh:
+        constrained_samples = pickle.load(fh)
+    np.testing.assert_allclose(
+        constrained_samples.X[:, 0],
+        np.tile([0.3, 0.4, 0.5], (4, 1)),
+        atol=1e-6,
+    )
+    assert (constrained_samples.A[:, 0] == 0).all()
