@@ -59,6 +59,7 @@ class Trainer:
         log_every_n_steps: int = 1,
         validation_hooks: Optional[List[Callable]] = None,
         use_data_parallelism: bool = True,
+        profile_first_epoch: bool = False,
     ):
         self.score_network = score_network
         self.diffusion_config = diffusion_config
@@ -80,6 +81,10 @@ class Trainer:
         )
 
         self.mesh = make_data_mesh() if use_data_parallelism else None
+        self.profile_first_epoch = profile_first_epoch
+        from ..utils.profiling import PhaseTimer
+
+        self.phase_timer = PhaseTimer()
 
         self.params = None
         self.opt_state = None
@@ -219,36 +224,49 @@ class Trainer:
         key = jax.random.PRNGKey(self.seed + 1)
         metrics: Dict[str, float] = {}
 
+        import contextlib
+
         for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.time()
+            trace_context = contextlib.nullcontext()
+            if self.profile_first_epoch and epoch == self.start_epoch:
+                from ..utils.profiling import device_trace
+
+                trace_context = device_trace(
+                    f"{self.output_directory}/profile"
+                )
             train_losses = []
             regularizer = self.diffusion_config.regularizer
             regularized = bool(
                 regularizer is not None and regularizer.can_regularizer_run(epoch)
             )
-            for batch in datamodule.train_batches():
-                key, step_key = jax.random.split(key)
-                conditional = (
-                    conditional_prob > 0
-                    and self._rng.random() < conditional_prob
-                )
-                batch = self._device_put(batch)
-                step = self._train_step[(conditional, regularized)]
-                self.params, self.opt_state, aux = step(
-                    self.params, self.opt_state, batch, step_key
-                )
-                self.global_step += 1
-                train_losses.append(aux)
-                if self.global_step % self.log_every_n_steps == 0:
-                    log_metrics_to_all(
-                        self.loggers,
-                        {"train_step_loss": float(aux["loss"])},
-                        self.global_step,
+            with trace_context:
+                for batch in datamodule.train_batches():
+                    key, step_key = jax.random.split(key)
+                    conditional = (
+                        conditional_prob > 0
+                        and self._rng.random() < conditional_prob
                     )
+                    with self.phase_timer.phase("device_put"):
+                        batch = self._device_put(batch)
+                    step = self._train_step[(conditional, regularized)]
+                    with self.phase_timer.phase("train_step"):
+                        self.params, self.opt_state, aux = step(
+                            self.params, self.opt_state, batch, step_key
+                        )
+                    self.global_step += 1
+                    train_losses.append(aux)
+                    if self.global_step % self.log_every_n_steps == 0:
+                        log_metrics_to_all(
+                            self.loggers,
+                            {"train_step_loss": float(aux["loss"])},
+                            self.global_step,
+                        )
 
             metrics = self._reduce_epoch_metrics("train", train_losses)
 
-            val_metrics = self._validate(datamodule, epoch, key)
+            with self.phase_timer.phase("validation"):
+                val_metrics = self._validate(datamodule, epoch, key)
             metrics.update(val_metrics)
             metrics["epoch"] = epoch
             metrics["epoch_time_s"] = time.time() - t0
@@ -289,6 +307,7 @@ class Trainer:
 
         for lg in self.loggers:
             lg.finalize()
+        self.phase_timer.log_summary(prefix="training ")
         return metrics
 
     def _validate(self, datamodule, epoch: int, key) -> Dict[str, float]:
