@@ -34,15 +34,19 @@ def load_data_module(hyper_params: Dict[str, Any], args=None):
             LammpsDataModuleParameters,
         )
 
+        # Raw runs are optional: a pre-existing parquet cache is enough.
+        lammps_run_dir = getattr(args, "data", None) or data_config.pop(
+            "lammps_run_dir", None
+        )
         params = LammpsDataModuleParameters(
             elements=elements,
             spatial_dimension=spatial_dimension,
-            lammps_run_dir=getattr(args, "data", None) or data_config.pop("lammps_run_dir"),
+            lammps_run_dir=lammps_run_dir,
             processed_dataset_dir=(
                 getattr(args, "processed_datadir", None)
                 or data_config.pop("processed_dataset_dir", None)
             ),
-            **{k: v for k, v in data_config.items() if k != "lammps_run_dir"},
+            **data_config,
         )
         return LammpsDataModule(params)
     raise ValueError(f"Unknown data source '{data_source}'")
