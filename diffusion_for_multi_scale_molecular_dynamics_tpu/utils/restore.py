@@ -80,10 +80,19 @@ def load_axl_network_from_checkpoint(checkpoint_path: str, prefer: str = "best")
         jax.random.PRNGKey(0), init_batch, conditional_init
     )
 
-    checkpointer = ocp.StandardCheckpointer()
-    # Restore the full saved training state without a template (the params
-    # template alone would mismatch the saved structure), then keep params.
-    restored = checkpointer.restore(state_dir)
+    # Restore as host numpy arrays (ignoring the saved device shardings) so
+    # checkpoints transfer across platforms — e.g. trained on TPU, sampled on
+    # CPU; then keep only the params subtree.
+    import numpy as np
+
+    with ocp.PyTreeCheckpointer() as checkpointer:
+        metadata = checkpointer.metadata(state_dir).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), metadata.tree
+        )
+        restored = checkpointer.restore(
+            state_dir, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+        )
     params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
     del template_params
     logger.info("Restored parameters from %s", state_dir)
