@@ -38,7 +38,7 @@ def test_shipped_checkpoint_samples_physical_structures():
     # guards loadability + end-to-end execution of the artifact).
     generator = LangevinGenerator(
         NoiseParameters(
-            total_time_steps=100,
+            total_time_steps=25,
             schedule_type="linear",
             sigma_min=1e-4,
             sigma_max=0.2,
@@ -46,14 +46,14 @@ def test_shipped_checkpoint_samples_physical_structures():
         PredictorCorrectorSamplingParameters(
             num_atom_types=1,
             number_of_atoms=64,
-            number_of_samples=4,
+            number_of_samples=2,
             number_of_corrector_steps=1,
             use_fixed_lattice_parameters=True,
             cell_dimensions=[10.86] * 3,
         ),
         axl_network,
     )
-    samples = generator.sample(jax.random.PRNGKey(0), 4)
+    samples = generator.sample(jax.random.PRNGKey(0), 2)
     x = np.asarray(samples.X)
     assert ((x >= 0) & (x < 1)).all()
     assert (np.asarray(samples.A) == 0).all()
