@@ -142,7 +142,8 @@ class ValidationSampler:
         self._lazily_register_reference_data(trainer)
 
         axl_network = functools.partial(
-            trainer.score_network.apply, trainer.params
+            trainer.score_network.apply,
+            getattr(trainer, "eval_params", trainer.params),
         )
         generator = instantiate_generator(
             self.sampling_parameters, self.noise_parameters, axl_network

@@ -225,8 +225,14 @@ def make_generic_step(
     return generic_step
 
 
-def make_train_step(generic_step, optimizer) -> Callable:
-    """Gradient step: (params, opt_state, batch, key) -> (params, opt_state, aux)."""
+def make_train_step(generic_step, optimizer, ema_decay: float = 0.0) -> Callable:
+    """Gradient step: (params, opt_state, batch, key) -> (params, opt_state, aux).
+
+    With ``ema_decay > 0`` the returned step also carries an exponential
+    moving average of the parameters (updated inside the same compiled
+    program): (params, opt_state, ema_params, batch, key)
+    -> (params, opt_state, ema_params, aux).
+    """
 
     grad_fn = jax.value_and_grad(generic_step, has_aux=True)
 
@@ -244,7 +250,17 @@ def make_train_step(generic_step, optimizer) -> Callable:
         }
         return params, opt_state, aux
 
-    return train_step
+    if ema_decay <= 0.0:
+        return train_step
+
+    def train_step_with_ema(params, opt_state, ema_params, batch, key):
+        params, opt_state, aux = train_step(params, opt_state, batch, key)
+        ema_params = jax.tree_util.tree_map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema_params, params
+        )
+        return params, opt_state, ema_params, aux
+
+    return train_step_with_ema
 
 
 def optax_global_norm(tree) -> jnp.ndarray:

@@ -25,9 +25,14 @@ class OptimizerParameters:
     learning_rate: float = 1e-3
     weight_decay: float = 0.0
     gradient_clipping: Optional[float] = None
+    # Exponential moving average of the parameters: 0 disables; a typical
+    # value is 0.999. When enabled, validation/sampling/checkpoint-best use
+    # the EMA weights (an upgrade over the reference, which has no EMA).
+    ema_decay: float = 0.0
 
     def __post_init__(self):
         assert self.name in _VALID_OPTIMIZERS, f"Unknown optimizer '{self.name}'"
+        assert 0.0 <= self.ema_decay < 1.0, "ema_decay must be in [0, 1)"
 
 
 @dataclass(frozen=True, kw_only=True)

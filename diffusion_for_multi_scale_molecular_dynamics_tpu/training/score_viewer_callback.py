@@ -36,7 +36,8 @@ class ScoreViewerCallback(Callback):
         if (epoch + 1) % self.parameters.record_every_n_epochs != 0:
             return
         score_fn = functools.partial(
-            trainer.score_network.apply, trainer.params
+            trainer.score_network.apply,
+            getattr(trainer, "eval_params", trainer.params),
         )
         try:
             figure = self.score_viewer.create_figure(score_fn)

@@ -56,7 +56,7 @@ class Trainer:
         callbacks: Optional[Dict[str, Callback]] = None,
         checkpoint_manager: Optional[CheckpointManager] = None,
         seed: int = 1234,
-        log_every_n_steps: int = 1,
+        log_every_n_steps: int = 50,
         validation_hooks: Optional[List[Callable]] = None,
         use_data_parallelism: bool = True,
         profile_first_epoch: bool = False,
@@ -79,6 +79,7 @@ class Trainer:
         self.lr_scheduler = LearningRateScheduler(
             scheduler_parameters, optimizer_parameters.learning_rate
         )
+        self.ema_decay = getattr(optimizer_parameters, "ema_decay", 0.0)
 
         self.mesh = make_data_mesh() if use_data_parallelism else None
         self.profile_first_epoch = profile_first_epoch
@@ -113,6 +114,7 @@ class Trainer:
                         generic_steps[regularized], conditional=conditional
                     ),
                     self.optimizer,
+                    ema_decay=self.ema_decay,
                 )
             )
             for conditional in conditional_options
@@ -163,19 +165,28 @@ class Trainer:
             init_key, network_batch, conditional_init
         )
         self.opt_state = self.optimizer.init(self.params)
+        self.ema_params = self.params if self.ema_decay > 0 else None
 
         n_params = sum(
             int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params)
         )
         logger.info("Initialized model with %d parameters", n_params)
 
+    @property
+    def eval_params(self):
+        """Parameters used for validation/sampling: EMA when enabled."""
+        return self.ema_params if self.ema_params is not None else self.params
+
     def make_template_state(self) -> Dict[str, Any]:
-        return {
+        state = {
             "params": self.params,
             "opt_state": self.opt_state,
             "epoch": 0,
             "global_step": 0,
         }
+        if self.ema_params is not None:
+            state["ema_params"] = self.ema_params
+        return state
 
     def _maybe_resume(self) -> None:
         if self.checkpoint_manager is None:
@@ -184,6 +195,8 @@ class Trainer:
         if restored is not None:
             self.params = restored["params"]
             self.opt_state = restored["opt_state"]
+            if self.ema_params is not None:
+                self.ema_params = restored.get("ema_params", restored["params"])
             self.start_epoch = int(restored["epoch"]) + 1
             self.global_step = int(restored["global_step"])
             logger.info("Resuming at epoch %d", self.start_epoch)
@@ -251,9 +264,23 @@ class Trainer:
                         batch = self._device_put(batch)
                     step = self._train_step[(conditional, regularized)]
                     with self.phase_timer.phase("train_step"):
-                        self.params, self.opt_state, aux = step(
-                            self.params, self.opt_state, batch, step_key
-                        )
+                        if self.ema_params is not None:
+                            (
+                                self.params,
+                                self.opt_state,
+                                self.ema_params,
+                                aux,
+                            ) = step(
+                                self.params,
+                                self.opt_state,
+                                self.ema_params,
+                                batch,
+                                step_key,
+                            )
+                        else:
+                            self.params, self.opt_state, aux = step(
+                                self.params, self.opt_state, batch, step_key
+                            )
                     self.global_step += 1
                     train_losses.append(aux)
                     if self.global_step % self.log_every_n_steps == 0:
@@ -300,6 +327,8 @@ class Trainer:
                     "epoch": epoch,
                     "global_step": self.global_step,
                 }
+                if self.ema_params is not None:
+                    state["ema_params"] = self.ema_params
                 self.checkpoint_manager.save_epoch(state, monitored)
 
             if any(cb.should_stop() for cb in self.callbacks.values()):
@@ -315,7 +344,7 @@ class Trainer:
         for batch in datamodule.valid_batches():
             key, step_key = jax.random.split(key)
             batch = self._device_put(batch)
-            _, aux = self._eval_step(self.params, batch, step_key)
+            _, aux = self._eval_step(self.eval_params, batch, step_key)
             losses.append(aux)
             for callback in self.callbacks.values():
                 callback.on_validation_batch(self, epoch, aux)

@@ -93,7 +93,10 @@ def load_axl_network_from_checkpoint(checkpoint_path: str, prefer: str = "best")
         restored = checkpointer.restore(
             state_dir, args=ocp.args.PyTreeRestore(restore_args=restore_args)
         )
-    params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+    # Prefer EMA weights when the checkpoint carries them (training with
+    # optimizer.ema_decay > 0): they are the sampling-quality weights.
+    params_key = "ema_params" if "ema_params" in restored else "params"
+    params = jax.tree_util.tree_map(jnp.asarray, restored[params_key])
     del template_params
-    logger.info("Restored parameters from %s", state_dir)
+    logger.info("Restored parameters (%s) from %s", params_key, state_dir)
     return functools.partial(score_network.apply, params)

@@ -101,3 +101,69 @@ def test_train_diffusion_smoke_and_resume(tmp_path, config_path):
         yaml.safe_dump(bad_config, fh)
     with pytest.raises(ValueError):
         main(["--config", str(bad_path), "--output", output])
+
+
+def test_train_diffusion_with_ema(tmp_path):
+    """EMA training: ema_params tracked, checkpointed, and preferred on restore."""
+    import numpy as np
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.train_diffusion import main
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.restore import (
+        load_axl_network_from_checkpoint,
+    )
+
+    config = make_config(tmp_path)
+    config["optimizer"]["ema_decay"] = 0.9
+    path = tmp_path / "config_ema.yaml"
+    with open(path, "w") as fh:
+        yaml.safe_dump(config, fh)
+    output = str(tmp_path / "output_ema")
+    main(["--config", str(path), "--output", output])
+
+    # The orbax checkpoint must carry ema_params distinct from params.
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as checkpointer:
+        metadata = checkpointer.metadata(
+            os.path.join(output, "last_model")
+        ).item_metadata
+        restore_args = __import__("jax").tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), metadata.tree
+        )
+        restored = checkpointer.restore(
+            os.path.join(output, "last_model"),
+            args=ocp.args.PyTreeRestore(restore_args=restore_args),
+        )
+    assert "ema_params" in restored
+    raw_leaves = __import__("jax").tree_util.tree_leaves(restored["params"])
+    ema_leaves = __import__("jax").tree_util.tree_leaves(restored["ema_params"])
+    assert any(
+        not np.allclose(r, e) for r, e in zip(raw_leaves, ema_leaves)
+    ), "EMA parameters never diverged from the raw parameters"
+
+    # restore must prefer the EMA weights and produce a working network.
+    axl_network = load_axl_network_from_checkpoint(output, prefer="last")
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.namespace import (
+        AXL,
+        CARTESIAN_FORCES,
+        NOISE,
+        NOISY_AXL_COMPOSITION,
+        TIME,
+    )
+    import jax.numpy as jnp
+
+    batch = {
+        NOISY_AXL_COMPOSITION: AXL(
+            A=jnp.zeros((1, 2), jnp.int32),
+            X=jnp.full((1, 2, 3), 0.3),
+            L=jnp.ones((1, 6)),
+        ),
+        TIME: jnp.full((1, 1), 0.5),
+        NOISE: jnp.full((1, 1), 0.1),
+        CARTESIAN_FORCES: jnp.zeros((1, 2, 3)),
+    }
+    out = axl_network(batch)
+    assert np.isfinite(np.asarray(out.X)).all()
+
+    # resume with EMA enabled must not crash.
+    main(["--config", str(path), "--output", output])
