@@ -1,3 +1,5 @@
+"""Active-learning campaign loop: selectors, excisors, sample makers, FLARE/ARTn drivers."""
+
 from .active_learning import ActiveLearning
 from .structure import Structure, StructureConverter
 

@@ -1,0 +1,1 @@
+"""Offline analysis: score viewer, trajectory export, OVITO utilities."""

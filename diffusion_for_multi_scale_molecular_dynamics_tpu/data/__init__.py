@@ -1,0 +1,1 @@
+"""Data pipeline: LAMMPS parsing/ETL, datamodules, on-device MD generation."""

@@ -1,3 +1,5 @@
+"""Samplers: predictor-corrector Langevin, adaptive, ODE/SDE, constrained (RePaint)."""
+
 from .axl_generator import AXLGenerator, SamplingParameters
 from .predictor_corrector_axl_generator import PredictorCorrectorSamplingParameters
 from .langevin_generator import LangevinGenerator

@@ -1,3 +1,5 @@
+"""Per-modality loss calculators (MSE, weighted MSE, D3PM) and their factory."""
+
 from .loss_parameters import (
     AtomTypeLossParameters,
     LossParameters,

@@ -1,3 +1,5 @@
+"""Distribution-match metrics (Kolmogorov-Smirnov) for sample validation."""
+
 from .kolmogorov_smirnov_metrics import (
     KolmogorovSmirnovMetric,
     compute_kolmogorov_smirnov_distance_and_pvalue,

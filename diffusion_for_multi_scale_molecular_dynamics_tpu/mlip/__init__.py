@@ -1,0 +1,1 @@
+"""Legacy MLIP wrappers: MTP (MLIP-3) and ACE (pacemaker) subprocess protocols."""

@@ -1,3 +1,5 @@
+"""Score networks: MLP, EGNN (+Pallas-fused), equivariant, analytical; factory."""
+
 from .analytical_score_network import (
     AnalyticalScoreNetwork,
     AnalyticalScoreNetworkConfig,

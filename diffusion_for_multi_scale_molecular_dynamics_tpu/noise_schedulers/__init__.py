@@ -1,3 +1,5 @@
+"""Noise process tables: sigma schedules, variance scheduler, D3PM Q matrices."""
+
 from .noise_parameters import NoiseParameters
 from .noise_schedule import (
     LangevinDynamics,

@@ -1,0 +1,1 @@
+"""Core math kernels: geometry, neighbors, wrapped-Gaussian score, D3PM algebra."""

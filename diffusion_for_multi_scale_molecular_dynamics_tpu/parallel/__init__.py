@@ -1,0 +1,1 @@
+"""Device-mesh sharding for data-parallel training and sample-parallel generation."""

@@ -1,0 +1,1 @@
+"""Batch sampling drivers and validation-time sampling with KS metrics."""

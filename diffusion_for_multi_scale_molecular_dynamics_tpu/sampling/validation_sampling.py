@@ -162,6 +162,7 @@ class ValidationSampler:
             self.energy_ks_metric.register_predicted_samples(energies)
             self._last_predicted_energies = np.asarray(energies)
             metrics["validation_sampled_energy_mean"] = float(np.mean(energies))
+            metrics["validation_sampled_energy_std"] = float(np.std(energies))
             if self.energy_ks_metric.has_data:
                 distance, pvalue = self.energy_ks_metric.compute()
                 metrics["validation_ks_distance_energy"] = distance

@@ -1,0 +1,1 @@
+"""Training loop: jitted steps, optimizer/scheduler, checkpointing, callbacks, loggers."""

@@ -1,0 +1,1 @@
+"""Support utilities: configuration, logging, reproducibility, profiling, restore."""
