@@ -167,3 +167,239 @@ def test_trajectory_recording(rng_key):
     assert record.time_step_index.shape == (N_STEPS,)
     assert int(record.time_step_index[0]) == N_STEPS
     assert int(record.time_step_index[-1]) == 1
+
+
+# --------------------------------------------------------------------------
+# 1:1 translations of the reference's D3PM sampler edge-case tests
+# (reference tests/generators/test_langevin_generator.py:208-530).
+
+
+def test_adjust_atom_types_probabilities_for_greedy_sampling(rng_key):
+    """Fully-masked rows are untouched; unmasked rows get greedy adjustment.
+
+    (reference test_adjust_atom_types_probabilities_for_greedy_sampling:208)
+    """
+    generator = make_generator(atom_type_greedy_sampling=True)
+    mask_index = generator.masked_atom_type_index
+
+    fully_masked_row = jnp.full((NATOMS,), mask_index, jnp.int32)
+    partially_unmasked_row = fully_masked_row.at[0].set(0)
+    atom_types_i = jnp.stack([fully_masked_row, partially_unmasked_row])
+
+    key_probs, key_gumbel, key_binary = jax.random.split(rng_key, 3)
+    probs = jax.nn.softmax(
+        jax.random.normal(key_probs, (2, NATOMS, NUM_TYPES + 1)), axis=-1
+    )
+    gumbel = jax.random.gumbel(key_gumbel, probs.shape)
+
+    new_probs, new_gumbel = generator._adjust_for_greedy_sampling(
+        key_binary, probs, atom_types_i, gumbel
+    )
+
+    # Fully-masked sample: unaffected.
+    np.testing.assert_allclose(new_probs[0], probs[0], rtol=1e-6)
+    np.testing.assert_allclose(new_gumbel[0], gumbel[0], rtol=1e-6)
+
+    # Partially-unmasked sample: real-class probabilities unchanged; MASK
+    # probability unchanged or zeroed; Gumbel noise zeroed (greedy argmax).
+    np.testing.assert_allclose(new_probs[1, :, :-1], probs[1, :, :-1], rtol=1e-6)
+    unchanged = np.isclose(np.asarray(new_probs[1, :, -1]), np.asarray(probs[1, :, -1]))
+    zeroed = np.asarray(new_probs[1, :, -1]) == 0.0
+    assert np.logical_or(unchanged, zeroed).all()
+    np.testing.assert_array_equal(np.asarray(new_gumbel[1]), 0.0)
+
+
+def test_one_transition_per_step_is_idempotent(rng_key):
+    """No proposed changes -> atom types unchanged.
+
+    (reference test_get_updated_atom_types_for_one_transition_per_step_is_idempotent:257)
+    """
+    generator = make_generator()
+    nsamples = 6
+    key_types, key_gumbel = jax.random.split(rng_key)
+    current = jax.random.randint(key_types, (nsamples, NATOMS), 0, NUM_TYPES)
+    max_gumbel = jax.random.uniform(key_gumbel, (nsamples, NATOMS))
+
+    updated = generator._restrict_to_one_transition(current, max_gumbel, current)
+    np.testing.assert_array_equal(np.asarray(updated), np.asarray(current))
+
+
+def test_one_transition_per_step_picks_max_gumbel(rng_key):
+    """Exactly one change per sample, at the argmax Gumbel among proposals.
+
+    (reference test_get_updated_atom_types_for_one_transition_per_step:281)
+    """
+    generator = make_generator()
+    nsamples = 6
+    key_cur, key_samp, key_gumbel = jax.random.split(rng_key, 3)
+    current = jax.random.randint(key_cur, (nsamples, NATOMS), 0, NUM_TYPES)
+    sampled = jax.random.randint(key_samp, (nsamples, NATOMS), 0, NUM_TYPES)
+    # Ensure at least one difference per sample.
+    sampled = sampled.at[:, 0].set((current[:, 0] + 1) % NUM_TYPES)
+    max_gumbel = jax.random.uniform(key_gumbel, (nsamples, NATOMS))
+
+    updated = generator._restrict_to_one_transition(current, max_gumbel, sampled)
+    change_mask = np.asarray(updated != current)
+    np.testing.assert_array_equal(change_mask.sum(axis=-1), 1)
+
+    proposed = np.asarray(sampled != current)
+    gumbel = np.asarray(max_gumbel).copy()
+    gumbel[~proposed] = -np.inf
+    expected_atoms = gumbel.argmax(axis=-1)
+    np.testing.assert_array_equal(np.where(change_mask)[1], expected_atoms)
+
+
+@pytest.mark.parametrize("greedy", [True, False])
+@pytest.mark.parametrize("one_transition", [True, False])
+def test_atom_types_update_full_unmasking_walk(rng_key, greedy, one_transition):
+    """Walk the full reverse chain through _atom_types_update with random
+    logits: changes are MASK->real only, at most one per step when restricted,
+    greedy picks the argmax class, and no MASK remains at the end.
+
+    (reference test_atom_types_update:345)
+    """
+    generator = make_generator(
+        atom_type_greedy_sampling=greedy,
+        one_atom_type_transition_per_step=one_transition,
+    )
+    mask_index = generator.masked_atom_type_index
+    noise = generator.schedule.noise
+    nsamples = 6
+
+    a_i = jnp.full((nsamples, NATOMS), mask_index, jnp.int32)
+    key = rng_key
+    for time_index in range(N_STEPS, 0, -1):
+        idx = time_index - 1
+        is_last = time_index == 1
+        key, key_logits, key_update = jax.random.split(key, 3)
+        logits = jax.random.uniform(key_logits, (nsamples, NATOMS, NUM_TYPES + 1))
+        logits = logits.at[..., -1].set(-jnp.inf)
+
+        restrict = one_transition and not is_last
+        a_im1 = generator._atom_types_update(
+            key_update,
+            logits,
+            a_i,
+            noise.q_matrix[idx],
+            noise.q_bar_matrix[idx],
+            noise.q_bar_tm1_matrix[idx],
+            one_atom_type_transition_per_step=jnp.asarray(restrict),
+        )
+
+        changed = np.asarray(a_im1 != a_i)
+        # Changes only unmask.
+        assert (np.asarray(a_i)[changed] == mask_index).all()
+        assert (np.asarray(a_im1)[changed] != mask_index).all()
+        if restrict:
+            assert (changed.sum(axis=-1) <= 1).all()
+        if greedy:
+            # Greedy applies once a sample has >= 1 real atom.
+            for sample_idx, atom_idx in zip(*np.where(changed)):
+                if (np.asarray(a_i)[sample_idx] == mask_index).all():
+                    continue
+                expected = np.asarray(logits[sample_idx, atom_idx]).argmax()
+                assert np.asarray(a_im1)[sample_idx, atom_idx] == expected
+        a_i = a_im1
+
+    assert not (np.asarray(a_i) == mask_index).any()
+
+
+def test_predictor_step_atom_types_walk(rng_key):
+    """Full predictor-step walk with injected logits: unmask-only transitions,
+    at most one per non-final step, none left at the end.
+
+    (reference test_predictor_step_atom_types:430)
+    """
+    injected = {}
+
+    def injectable_network(batch):
+        composition = batch[NOISY_AXL_COMPOSITION]
+        return AXL(
+            A=injected["logits"],
+            X=jnp.zeros_like(composition.X),
+            L=jnp.zeros_like(composition.L),
+        )
+
+    params = PredictorCorrectorSamplingParameters(
+        algorithm="predictor_corrector",
+        num_atom_types=NUM_TYPES,
+        number_of_atoms=NATOMS,
+        number_of_samples=6,
+        number_of_corrector_steps=0,
+        use_fixed_lattice_parameters=True,
+        cell_dimensions=[5.43] * D,
+        record_samples=False,
+    )
+    noise_params = NoiseParameters(
+        total_time_steps=N_STEPS, sigma_min=0.001, sigma_max=0.4
+    )
+    generator = LangevinGenerator(noise_params, params, injectable_network)
+    mask_index = generator.masked_atom_type_index
+    nsamples = 6
+
+    key = rng_key
+    key, key_x = jax.random.split(key)
+    composition = AXL(
+        A=jnp.full((nsamples, NATOMS), mask_index, jnp.int32),
+        X=jax.random.uniform(key_x, (nsamples, NATOMS, D)),
+        L=jnp.zeros((nsamples, 6)),
+    )
+
+    for idx in range(N_STEPS - 1, -1, -1):
+        key, key_logits, key_step = jax.random.split(key, 3)
+        logits = jax.random.uniform(key_logits, (nsamples, NATOMS, NUM_TYPES + 1))
+        injected["logits"] = logits.at[..., -1].set(-jnp.inf)
+
+        new_composition, _ = generator.predictor_step(
+            key_step, composition, jnp.asarray(idx)
+        )
+        changed = np.asarray(new_composition.A != composition.A)
+        assert (np.asarray(composition.A)[changed] == mask_index).all()
+        assert (np.asarray(new_composition.A)[changed] != mask_index).all()
+        if idx != 0:
+            assert (changed.sum(axis=-1) <= 1).all()
+        composition = new_composition
+
+    assert not (np.asarray(composition.A) == mask_index).any()
+
+
+def test_corrector_step_formula(rng_key):
+    """Corrector X update is x + eps*s/sigma + sqrt(2 eps) z with the
+    tabulated eps, and the i=0 corrector extrapolates to sigma_min.
+
+    (reference test_corrector_step:505)
+    """
+    generator = make_generator()
+    noise_params = generator.noise_parameters
+    schedule = generator.schedule
+    nsamples = 6
+
+    key_x, key_step = jax.random.split(rng_key)
+    x = jax.random.uniform(key_x, (nsamples, NATOMS, D))
+    composition = AXL(
+        A=jnp.zeros((nsamples, NATOMS), jnp.int32),
+        X=x,
+        L=jnp.zeros((nsamples, 6)),
+    )
+
+    for idx in (0, 1, N_STEPS - 1):
+        corrected, predictions = generator.corrector_step(
+            key_step, composition, jnp.asarray(idx)
+        )
+        # Reproduce the exact update using the same derived key for z.
+        key_a, key_xn, key_l = jax.random.split(key_step, 3)
+        z = jax.random.normal(key_xn, x.shape, x.dtype)
+        eps = schedule.langevin.epsilon[idx]
+        sigma_expected = (
+            noise_params.sigma_min if idx == 0 else schedule.noise.sigma[idx - 1]
+        )
+        from diffusion_for_multi_scale_molecular_dynamics_tpu.ops.geometry import (
+            map_relative_coordinates_to_unit_cell,
+        )
+
+        expected = map_relative_coordinates_to_unit_cell(
+            x + eps * predictions.X / sigma_expected + jnp.sqrt(2.0 * eps) * z
+        )
+        np.testing.assert_allclose(
+            np.asarray(corrected.X), np.asarray(expected), rtol=1e-5, atol=1e-6
+        )
