@@ -112,6 +112,40 @@ def create_xyz_files(
     return written
 
 
+CIF_DIRECTORY_TEMPLATE = "diffusion_positions_{time_index}.cif"
+
+
+def create_trajectory_cif_files(
+    elements: List[str],
+    trajectory_axls: List[AXL],
+    output_directory: str,
+    sample_index: int = 0,
+) -> List[str]:
+    """Per-time-step CIF files for one sample of a recorded trajectory.
+
+    Written into ``cif_files_trajectory_{sample_index}/`` with the
+    ``CIF_DIRECTORY_TEMPLATE`` naming so OVITO's file-sequence import (and
+    ``create_ovito_session_state``) picks the frames up directly.
+    (reference: analysis/ovito_utilities/trajectory_io.py:24)
+    """
+    directory = os.path.join(
+        output_directory, f"cif_files_trajectory_{sample_index}"
+    )
+    os.makedirs(directory, exist_ok=True)
+    converter = StructureConverter(list(elements) + ["X"])
+    written = []
+    for step, axl in enumerate(trajectory_axls):
+        single = AXL(
+            A=axl.A[sample_index], X=axl.X[sample_index], L=axl.L[sample_index]
+        )
+        path = os.path.join(
+            directory, CIF_DIRECTORY_TEMPLATE.format(time_index=step)
+        )
+        write_cif(path, converter.convert_axl_to_structure(single))
+        written.append(path)
+    return written
+
+
 def create_cif_files(
     elements: List[str],
     samples_pickle_path: str,

@@ -174,3 +174,98 @@ def test_mtp_cfg_round_trip(tmp_path):
     assert energies[0] == pytest.approx(1.5)
     np.testing.assert_allclose(forces_out[0], forces[0], atol=1e-8)
     assert grades[0] is None
+
+
+def test_create_trajectory_cif_files_and_cell_readback(tmp_path):
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.analysis.ovito_export import (
+        _read_orthogonal_cell_from_cif,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.analysis.trajectory_io import (
+        CIF_DIRECTORY_TEMPLATE,
+        create_trajectory_cif_files,
+    )
+
+    rng = np.random.RandomState(0)
+    batch, natoms, steps = 2, 4, 3
+    axls = [
+        AXL(
+            A=np.zeros((batch, natoms), np.int64),
+            X=rng.uniform(size=(batch, natoms, 3)),
+            L=np.concatenate([5.43 * np.ones((batch, 3)), np.zeros((batch, 3))], -1),
+        )
+        for _ in range(steps)
+    ]
+    written = create_trajectory_cif_files(["Si"], axls, str(tmp_path), sample_index=1)
+    assert len(written) == steps
+    directory = tmp_path / "cif_files_trajectory_1"
+    for step in range(steps):
+        assert (directory / CIF_DIRECTORY_TEMPLATE.format(time_index=step)).exists()
+    cell = _read_orthogonal_cell_from_cif(str(written[0]))
+    np.testing.assert_allclose(cell, np.eye(3) * 5.43, atol=1e-6)
+
+
+def test_ovito_session_state_requires_ovito(tmp_path):
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.analysis.ovito_export import (
+        create_ovito_session_state,
+    )
+
+    try:
+        import ovito  # noqa: F401
+
+        pytest.skip("ovito installed; the gate does not apply")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="optional 'ovito' package"):
+        create_ovito_session_state(str(tmp_path), trajectory_index=0)
+
+
+def test_mtp_predictions_to_ovito(tmp_path):
+    import pandas as pd
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.analysis.ovito_export import (
+        get_lattice_from_lammps,
+        main as ovito_main,
+    )
+
+    # Fake LAMMPS yaml dump with the box bounds.
+    dump = tmp_path / "dump.yaml"
+    dump.write_text(
+        "---\nbox:\n- [0.0, 5.43]\n- [0.0, 5.43]\n- [0.0, 5.43]\n...\n"
+    )
+    lattice = get_lattice_from_lammps(str(dump))
+    np.testing.assert_allclose(lattice, np.eye(3) * 5.43)
+
+    # Fake MTP prediction CSV: two structures of two atoms.
+    rows = []
+    for structure_index in (0, 1):
+        for atom in range(2):
+            rows.append(
+                {
+                    "structure_index": structure_index,
+                    "x": 0.1 * atom,
+                    "y": 0.2 * atom,
+                    "z": 0.3 * atom,
+                    "nbh_grades": 1.0 + structure_index,
+                }
+            )
+    csv_path = tmp_path / "predictions.csv"
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+
+    output = tmp_path / "viz"
+    ovito_main(
+        [
+            "--prediction_file",
+            str(csv_path),
+            "--lammps_output",
+            str(dump),
+            "--output_name",
+            str(output),
+        ]
+    )
+    text = (tmp_path / "viz.xyz").read_text().splitlines()
+    assert text[0] == "2"
+    assert "MaxVolGamma" in text[1]
+    assert len(text) == 8  # two frames x (2 header + 2 atoms)
+    # per-atom gamma annotation present
+    assert text[2].split()[-1] == "1.0"
+    assert text[6].split()[-1] == "2.0"
