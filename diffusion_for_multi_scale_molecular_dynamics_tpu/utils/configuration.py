@@ -6,6 +6,7 @@
 
 import logging
 import os
+import re
 from typing import Any, Dict
 
 import yaml
@@ -13,6 +14,54 @@ import yaml
 logger = logging.getLogger(__name__)
 
 CONFIG_BACKUP_NAME = "config_backup.yaml"
+
+_ORION_PATTERN = re.compile(r"^orion~(\w+)\((.*)\)$")
+
+
+def resolve_orion_placeholders(configuration: Any) -> Any:
+    """Substitute ``orion~...`` search-space strings with deterministic values.
+
+    Orion HPO templates carry values like ``orion~choices([16, 32])`` or
+    ``orion~loguniform(1e-6, 1e-3)``; under ``orion hunt`` the orion client
+    rewrites them before the program sees the config. When such a template is
+    run *without* orion, this helper makes it usable by picking a
+    deterministic representative (first choice / geometric mean / midpoint).
+    (reference behavior: templates crash without orion — this is an upgrade.)
+    """
+    if isinstance(configuration, dict):
+        return {
+            key: resolve_orion_placeholders(value)
+            for key, value in configuration.items()
+        }
+    if isinstance(configuration, list):
+        return [resolve_orion_placeholders(value) for value in configuration]
+    if not isinstance(configuration, str):
+        return configuration
+    match = _ORION_PATTERN.match(configuration.strip())
+    if match is None:
+        return configuration
+    distribution, arguments = match.group(1), match.group(2)
+    if distribution == "choices":
+        values = yaml.safe_load(arguments)
+        return values[0]
+    numbers = [float(x) for x in arguments.split(",")]
+    if distribution == "loguniform":
+        value = (numbers[0] * numbers[1]) ** 0.5
+    elif distribution == "uniform":
+        value = 0.5 * (numbers[0] + numbers[1])
+    else:
+        raise ValueError(f"unsupported orion distribution '{distribution}'")
+    return int(value) if all(n == int(n) for n in numbers) else value
+
+
+def _contains_orion_placeholder(configuration: Any) -> bool:
+    if isinstance(configuration, dict):
+        return any(_contains_orion_placeholder(v) for v in configuration.values())
+    if isinstance(configuration, list):
+        return any(_contains_orion_placeholder(v) for v in configuration)
+    return isinstance(configuration, str) and bool(
+        _ORION_PATTERN.match(configuration.strip())
+    )
 
 
 def _deep_equal(a: Any, b: Any) -> bool:
@@ -38,6 +87,17 @@ def load_and_backup_hyperparameters(
     """
     with open(config_file_path, "r") as fh:
         hyper_params = yaml.safe_load(fh)
+
+    if _contains_orion_placeholder(hyper_params):
+        from .main_utils import is_orion_on
+
+        if not is_orion_on():
+            logger.warning(
+                "Config contains orion~ search-space placeholders but orion "
+                "is not driving this run; substituting deterministic "
+                "representatives."
+            )
+            hyper_params = resolve_orion_placeholders(hyper_params)
 
     os.makedirs(output_directory, exist_ok=True)
     backup_path = os.path.join(output_directory, CONFIG_BACKUP_NAME)

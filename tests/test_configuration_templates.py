@@ -103,3 +103,57 @@ def test_sampling_and_al_templates_parse():
         create_atom_selector_arguments(al["sample_maker"]["atom_selector"])
     )
     create_excisor(create_excisor_arguments(al["sample_maker"]["excisor"]))
+
+
+def test_orion_template_resolves_and_builds():
+    """orion~ placeholders resolve deterministically and parse through the
+    real factories (exercising the Orion code path without orion installed)."""
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.training.instantiate_diffusion_model import (
+        load_diffusion_model,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.training.optimizer import (
+        create_optimizer_parameters,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.configuration import (
+        resolve_orion_placeholders,
+    )
+
+    config = load("config_diffusion_mlp_orion.yaml")
+    resolved = resolve_orion_placeholders(config)
+    network_config = resolved["model"]["score_network"]
+    assert network_config["n_hidden_dimensions"] == 1  # first choice
+    assert network_config["hidden_dimensions_size"] == 16
+    learning_rate = resolved["optimizer"]["learning_rate"]
+    assert abs(learning_rate - (1e-6 * 1e-3) ** 0.5) < 1e-9  # geometric mean
+
+    network, diffusion_config = load_diffusion_model(resolved)
+    assert diffusion_config.score_network_config.architecture == "mlp"
+    create_optimizer_parameters(resolved["optimizer"])
+
+
+def test_orion_placeholders_resolved_by_config_loader(tmp_path):
+    """The training config loader substitutes placeholders when orion is off."""
+    import yaml as yaml_module
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.configuration import (
+        load_and_backup_hyperparameters,
+    )
+
+    config = load("config_diffusion_mlp_orion.yaml")
+    path = tmp_path / "orion_template.yaml"
+    with open(path, "w") as fh:
+        yaml_module.safe_dump(config, fh)
+    hyper_params = load_and_backup_hyperparameters(str(path), str(tmp_path / "out"))
+    assert hyper_params["model"]["score_network"]["n_hidden_dimensions"] == 1
+    assert isinstance(hyper_params["optimizer"]["learning_rate"], float)
+
+
+def test_equivariant_template_builds_network():
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.training.instantiate_diffusion_model import (
+        load_diffusion_model,
+    )
+
+    config = load("config_diffusion_equivariant_si_1x1x1.yaml")
+    network, diffusion_config = load_diffusion_model(config)
+    assert diffusion_config.score_network_config.architecture == "diffusion_mace"
+    assert diffusion_config.score_network_config.num_features == 64
