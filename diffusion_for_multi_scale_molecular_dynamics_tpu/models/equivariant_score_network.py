@@ -49,6 +49,13 @@ class EquivariantScoreNetworkConfig(ScoreNetworkConfig):
     number_of_interactions: int = 3
     number_of_radial_basis: int = 16
     radial_cutoff: float = 5.0
+    # Maximum feature rank: 1 = scalars+vectors (PaiNN), 2 adds rank-2
+    # traceless-symmetric Cartesian tensors with l2<->l1<->l0 product paths
+    # (the higher-order message passing of the reference's DiffusionMACE,
+    # diffusion_mace.py:131-465 with max_ell=2, rebuilt with Cartesian-tensor
+    # contractions instead of e3nn tensor products — every op is a dense
+    # matmul/einsum, no Clebsch-Gordan gathers).
+    max_ell: int = 1
     # bfloat16 for the channel-mixing matmuls; geometry stays float32.
     compute_dtype: str = "float32"
     # Score prediction head: "equivariant" (gated vector combination) or
@@ -63,6 +70,7 @@ class EquivariantScoreNetworkConfig(ScoreNetworkConfig):
 
     def __post_init__(self):
         assert self.prediction_head in ("equivariant", "mlp")
+        assert self.max_ell in (1, 2), "max_ell must be 1 or 2"
         if self.use_pretrained:
             raise NotImplementedError(
                 "pretrained torch MACE checkpoints cannot be loaded into the "
@@ -127,12 +135,21 @@ class EquivariantScoreNetwork(nn.Module):
             jnp.concatenate([onehot, sigma, time], axis=-1)
         )
         v = jnp.zeros((batch_size, n, d, channels), jnp.float32)
+        if cfg.max_ell >= 2:
+            # Rank-2 traceless symmetric Cartesian tensor features, and the
+            # edge l=2 basis Y2(r_ij) = r^ (x) r^ - I/3.
+            t = jnp.zeros((batch_size, n, d, d, channels), jnp.float32)
+            y2 = unit[..., :, None] * unit[..., None, :] - (
+                jnp.eye(d, dtype=unit.dtype) / d
+            )
+        else:
+            t, y2 = None, None
 
         for block in range(cfg.number_of_interactions):
-            s, v = self._interaction(
-                s, v, rbf, unit, edge_mask, f"interaction_{block}", dtype
+            s, v, t = self._interaction(
+                s, v, t, rbf, unit, y2, edge_mask, f"interaction_{block}", dtype
             )
-            s, v = self._update(s, v, f"update_{block}", dtype)
+            s, v, t = self._update(s, v, t, f"update_{block}", dtype)
 
         # Readouts.
         logits = nn.Dense(cfg.num_classes, name="atom_readout")(
@@ -160,32 +177,65 @@ class EquivariantScoreNetwork(nn.Module):
         )
         return impose_non_mask_atomic_type_prediction(output)
 
-    def _interaction(self, s, v, rbf, unit, edge_mask, name, dtype):
-        """PaiNN message block over the dense pair tensor."""
+    def _interaction(self, s, v, t, rbf, unit, y2, edge_mask, name, dtype):
+        """Message block over the dense pair tensor.
+
+        Rank-1 paths (always): s <- s, v <- v_j, v <- r^.
+        Rank-2 paths (max_ell=2): t <- t_j, t <- Y2(r^), v <- t_j . r^,
+        s <- r^T t_j r^ — the l2->l1 and l2->l0 product channels.
+        All gates are invariant functions of source scalars and distances.
+        """
         cfg = self.config
         channels = cfg.num_features
+        n_gates = 3 if cfg.max_ell == 1 else 7
 
         h = nn.Dense(channels, dtype=dtype, name=f"{name}_phi0")(s.astype(dtype))
         h = nn.silu(h)
-        h = nn.Dense(3 * channels, dtype=dtype, name=f"{name}_phi1")(h)
+        h = nn.Dense(n_gates * channels, dtype=dtype, name=f"{name}_phi1")(h)
         filters = nn.Dense(
-            3 * channels, dtype=dtype, name=f"{name}_filter"
+            n_gates * channels, dtype=dtype, name=f"{name}_filter"
         )(rbf.astype(dtype))
 
-        # Per-pair gated source features: [B, N(target), N(source), 3C].
+        # Per-pair gated source features: [B, N(target), N(source), GC].
         pair = (h[:, None, :, :] * filters).astype(jnp.float32)
         pair = pair * edge_mask[..., None]
-        gate_s, gate_vv, gate_vs = jnp.split(pair, 3, axis=-1)
+        gates = jnp.split(pair, n_gates, axis=-1)
+        gate_s, gate_vv, gate_vs = gates[:3]
 
         ds = jnp.sum(gate_s, axis=2)
         # Vector message: neighbor vectors + radial direction, both gated.
         dv = jnp.einsum("bjdc,bijc->bidc", v, gate_vv) + jnp.einsum(
             "bijd,bijc->bidc", unit, gate_vs
         )
-        return s + ds.astype(s.dtype), v + dv
+        dt = None
+        if cfg.max_ell >= 2:
+            gate_tt, gate_ty, gate_vt, gate_st = gates[3:]
+            # t <- neighbor tensors and the edge l=2 basis.
+            dt = jnp.einsum("bjpqc,bijc->bipqc", t, gate_tt) + jnp.einsum(
+                "bijpq,bijc->bipqc", y2, gate_ty
+            )
+            # v <- (t_j . r^): rank-2 x rank-1 -> rank-1.
+            tensor_dot_unit = jnp.einsum("bjpqc,bijq->bijpc", t, unit)
+            dv = dv + jnp.einsum("bijpc,bijc->bipc", tensor_dot_unit, gate_vt)
+            # s <- r^T t_j r^: full contraction -> invariant.
+            quadrupole_projection = jnp.einsum(
+                "bijpc,bijp->bijc", tensor_dot_unit, unit
+            )
+            ds = ds + jnp.sum(quadrupole_projection * gate_st, axis=2)
 
-    def _update(self, s, v, name, dtype):
-        """Node-local scalar/vector mixing (exact equivariance)."""
+        s = s + ds.astype(s.dtype)
+        v = v + dv
+        if t is not None:
+            t = t + dt
+        return s, v, t
+
+    def _update(self, s, v, t, name, dtype):
+        """Node-local mixing across ranks (exact equivariance).
+
+        Invariant gates computed from s, |V v| and |Q t|_F weight the
+        equivariant products: v (x) v -> s, t . v -> v (max_ell=2),
+        sym-traceless(u (x) v) -> t, tr(t t) -> s.
+        """
         cfg = self.config
         channels = cfg.num_features
 
@@ -197,15 +247,61 @@ class EquivariantScoreNetwork(nn.Module):
         ).astype(jnp.float32)
 
         v_norm = jnp.sqrt(jnp.sum(v_v**2, axis=2) + 1e-8)  # [B, N, C]
+        invariants = [s.astype(dtype), v_norm.astype(dtype)]
+
+        if cfg.max_ell >= 2:
+            t_p = nn.Dense(
+                channels, use_bias=False, dtype=dtype, name=f"{name}_P"
+            )(t.astype(dtype)).astype(jnp.float32)
+            t_q = nn.Dense(
+                channels, use_bias=False, dtype=dtype, name=f"{name}_Q"
+            )(t.astype(dtype)).astype(jnp.float32)
+            t_norm = jnp.sqrt(jnp.sum(t_q**2, axis=(2, 3)) + 1e-8)
+            invariants.append(t_norm.astype(dtype))
+            n_gates = 7
+        else:
+            n_gates = 3
+
         a = nn.Dense(channels, dtype=dtype, name=f"{name}_a0")(
-            jnp.concatenate([s.astype(dtype), v_norm.astype(dtype)], axis=-1)
+            jnp.concatenate(invariants, axis=-1)
         )
         a = nn.silu(a)
-        a = nn.Dense(3 * channels, dtype=dtype, name=f"{name}_a1")(a).astype(
+        a = nn.Dense(n_gates * channels, dtype=dtype, name=f"{name}_a1")(a).astype(
             jnp.float32
         )
-        a_ss, a_sv, a_vv = jnp.split(a, 3, axis=-1)
+        gates = jnp.split(a, n_gates, axis=-1)
+        a_ss, a_sv, a_vv = gates[:3]
 
         scalar_update = a_ss + a_sv * jnp.sum(u_v * v_v, axis=2)
         vector_update = a_vv[:, :, None, :] * u_v
-        return s + scalar_update.astype(s.dtype), v + vector_update
+        tensor_update = None
+        if cfg.max_ell >= 2:
+            a_st, a_vt, a_tt, a_to = gates[3:]
+            # s <- tr(t_p t_q) (both symmetric: elementwise Frobenius product).
+            scalar_update = scalar_update + a_st * jnp.einsum(
+                "bnpqc,bnqpc->bnc", t_p, t_q
+            )
+            # v <- t_p . v_v (rank-2 x rank-1 -> rank-1).
+            vector_update = vector_update + a_vt[:, :, None, :] * jnp.einsum(
+                "bnpqc,bnqc->bnpc", t_p, v_v
+            )
+            # t <- sym-traceless(u_v (x) v_v) and a channel remix of t_p.
+            outer = 0.5 * (
+                u_v[:, :, :, None, :] * v_v[:, :, None, :, :]
+                + v_v[:, :, :, None, :] * u_v[:, :, None, :, :]
+            )
+            trace = jnp.einsum("bnppc->bnc", outer)
+            d = v.shape[2]
+            outer = outer - (trace / d)[:, :, None, None, :] * jnp.eye(
+                d, dtype=outer.dtype
+            )[None, None, :, :, None]
+            tensor_update = (
+                a_tt[:, :, None, None, :] * outer
+                + a_to[:, :, None, None, :] * t_p
+            )
+
+        s = s + scalar_update.astype(s.dtype)
+        v = v + vector_update
+        if t is not None:
+            t = t + tensor_update
+        return s, v, t

@@ -22,13 +22,14 @@ from tests.test_equivariance import make_batch, rotate_torus
 NUM_TYPES = 1
 
 
-@pytest.fixture(scope="module")
-def network_and_params():
+@pytest.fixture(scope="module", params=[1, 2], ids=["l1", "l2"])
+def network_and_params(request):
     cfg = EquivariantScoreNetworkConfig(
         num_atom_types=NUM_TYPES,
         num_features=16,
         number_of_interactions=2,
         radial_cutoff=3.0,
+        max_ell=request.param,
     )
     net = EquivariantScoreNetwork(cfg)
     key = jax.random.PRNGKey(0)
@@ -123,3 +124,137 @@ def test_pretrained_loading_raises():
         EquivariantScoreNetworkConfig(
             num_atom_types=1, use_pretrained="small"
         )
+
+
+def test_l2_tensor_path_is_live(rng_key):
+    """max_ell=2 creates rank-2 feature parameters and gradients flow
+    through them (the l=2 channels influence the score output)."""
+    cfg = EquivariantScoreNetworkConfig(
+        num_atom_types=NUM_TYPES,
+        num_features=16,
+        number_of_interactions=2,
+        radial_cutoff=3.0,
+        max_ell=2,
+    )
+    net = EquivariantScoreNetwork(cfg)
+    batch = make_batch(rng_key)
+    params = net.init(rng_key, batch, False)
+
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    tensor_param_names = [
+        jax.tree_util.keystr(path)
+        for path, _ in flat
+        if "_P" in jax.tree_util.keystr(path)
+        or "_Q" in jax.tree_util.keystr(path)
+    ]
+    assert tensor_param_names, "no rank-2 feature parameters were created"
+
+    def loss(p):
+        out = net.apply(p, batch, False)
+        return jnp.mean(out.X**2)
+
+    grads = jax.grad(loss)(params)
+    grad_flat = dict(
+        (jax.tree_util.keystr(path), leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(grads)
+    )
+    p_grads = [
+        np.abs(np.asarray(grad_flat[name])).max() for name in tensor_param_names
+    ]
+    assert max(p_grads) > 0, "tensor-path parameters receive zero gradient"
+
+
+def test_l2_trains_on_si_1x1x1():
+    """The max_ell=2 network fits Si 1x1x1 MD data (loss decreases)."""
+    import os
+
+    import optax
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.loss import (
+        create_loss_parameters,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.namespace import (
+        ATOM_TYPES,
+        CARTESIAN_FORCES,
+        LATTICE_PARAMETERS,
+        RELATIVE_COORDINATES,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.noise_schedulers import (
+        NoiseParameters,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.training.diffusion_model import (
+        AXLDiffusionConfig,
+        make_generic_step,
+        make_train_step,
+    )
+
+    import pandas as pd
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    frame = pd.read_parquet(
+        os.path.join(repo, "data", "si_diffusion_1x1x1", "train_run_1.parquet")
+    ).head(64)
+    natoms = int(frame["natom"].iloc[0])
+    x = np.stack(
+        [row.reshape(natoms, 3) for row in frame["relative_coordinates"]]
+    ).astype(np.float32)
+    lattice = np.stack(list(frame["lattice_parameters"])).astype(np.float32)
+    batch = {
+        RELATIVE_COORDINATES: jnp.asarray(x),
+        ATOM_TYPES: jnp.zeros((len(frame), natoms), jnp.int32),
+        LATTICE_PARAMETERS: jnp.asarray(lattice),
+        CARTESIAN_FORCES: jnp.zeros_like(jnp.asarray(x)),
+    }
+
+    cfg = EquivariantScoreNetworkConfig(
+        num_atom_types=1,
+        num_features=16,
+        number_of_interactions=2,
+        radial_cutoff=2.7,
+        max_ell=2,
+    )
+    net = EquivariantScoreNetwork(cfg)
+    diffusion_config = AXLDiffusionConfig(
+        score_network_config=cfg,
+        loss_parameters=create_loss_parameters({}),
+        noise_parameters=NoiseParameters(
+            total_time_steps=20, sigma_min=0.005, sigma_max=0.3
+        ),
+        use_fixed_lattice_parameters=True,
+    )
+    generic_step = make_generic_step(net, diffusion_config)
+    optimizer = optax.adamw(5e-3)
+    train_step = jax.jit(
+        make_train_step(
+            lambda p, b, k: generic_step(p, b, k, conditional=False), optimizer
+        )
+    )
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.namespace import (
+        AXL,
+        NOISE,
+        NOISY_AXL_COMPOSITION,
+        TIME,
+    )
+
+    init_batch = {
+        NOISY_AXL_COMPOSITION: AXL(
+            A=batch[ATOM_TYPES], X=batch[RELATIVE_COORDINATES],
+            L=batch[LATTICE_PARAMETERS],
+        ),
+        TIME: jnp.full((len(frame), 1), 0.5),
+        NOISE: jnp.full((len(frame), 1), 0.1),
+        CARTESIAN_FORCES: batch[CARTESIAN_FORCES],
+    }
+    params = net.init(jax.random.PRNGKey(0), init_batch, False)
+    opt_state = optimizer.init(params)
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for step in range(25):
+        key, step_key = jax.random.split(key)
+        params, opt_state, aux = train_step(params, opt_state, batch, step_key)
+        losses.append(float(aux["loss"]))
+    early = np.mean(losses[:5])
+    late = np.mean(losses[-5:])
+    assert late < 0.8 * early, f"no learning: first5={early:.4f} last5={late:.4f}"
