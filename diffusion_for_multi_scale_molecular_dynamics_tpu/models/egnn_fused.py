@@ -19,9 +19,14 @@ Two optimizations, shared by both paths:
      weighted aggregation in on-chip memory, writing only m_agg [B, N, H]
      and the pair gate phi [B, N, N] back to HBM.
 
-Gradients: the fused op carries a custom VJP whose backward recomputes
-through the jnp path (rematerialization) — training works, and the
-inference-heavy sampling loop gets the full fused speedup.
+Gradients: the fused op carries a custom VJP whose backward is itself a
+Pallas kernel (``pallas_message_block_bwd``): per (batch, row-block) grid
+program it *recomputes* the pair activations in VMEM (flash-attention-style
+rematerialization — the [B, N, N, H] tensors never reach HBM in either
+direction) and backpropagates through the whole per-pair stack, accumulating
+parameter gradients across grid steps in resident output blocks. A jnp
+rematerializing backward remains available (``use_pallas_backward=False``)
+as the reference/fallback path.
 
 Matmuls run in bfloat16 with float32 accumulation; aggregation is float32.
 """
@@ -230,11 +235,271 @@ def pallas_message_block(
     return out[0], out[1]
 
 
+# --------------------------------------------------------------------- bwd
+
+
+def _bf16_matmul_t(x, w, transpose_w=False):
+    """bf16 matmul with fp32 accumulation, optionally against w^T."""
+    w = w.astype(jnp.bfloat16)
+    return jnp.dot(
+        x.astype(jnp.bfloat16),
+        w.T if transpose_w else w,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _silu_grad(pre):
+    sig = jax.nn.sigmoid(pre)
+    return sig * (1.0 + pre * (1.0 - sig))
+
+
+def _backward_kernel(
+    h_ref,
+    radial_ref,
+    weights_ref,
+    g_magg_ref,
+    g_phi_ref,
+    *rest,
+    n_message_layers,
+    n_coordinate_layers,
+    tanh,
+    param_names,
+    feature_size,
+    block_rows,
+):
+    """One grid program = one (batch sample, target-row block).
+
+    Recomputes the pair activations for its row block in VMEM, then
+    backpropagates through coord + message stacks. Parameter gradients and dh
+    accumulate in resident output blocks (constant index maps) across the
+    sequentially-executed grid.
+    """
+    n_params = len(param_names)
+    param_refs = rest[:n_params]
+    out_refs = rest[n_params:]
+    dh_ref, dradial_ref, dweights_ref = out_refs[:3]
+    dparam_refs = dict(zip(param_names, out_refs[3:]))
+    params = {name: ref[:] for name, ref in zip(param_names, param_refs)}
+
+    block_index = pl.program_id(1)
+    is_first_program = (pl.program_id(0) == 0) & (block_index == 0)
+
+    @pl.when(is_first_program)
+    def _init_dparams():
+        for ref in out_refs[3:]:
+            ref[:] = jnp.zeros_like(ref)
+
+    @pl.when(block_index == 0)
+    def _init_dh():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+
+    h = h_ref[0]  # [N, F] (full sample)
+    n = h.shape[0]
+    rows = pl.ds(block_index * block_rows, block_rows)
+    h_blk = jax.lax.dynamic_slice_in_dim(
+        h, block_index * block_rows, block_rows, axis=0
+    )  # [BI, F]
+    radial_blk = radial_ref[0]  # [BI, N]
+    weights_blk = weights_ref[0]  # [BI, N]
+    g_magg = g_magg_ref[0]  # [BI, H]
+    g_phi = g_phi_ref[0]  # [BI, N]
+
+    w0 = params["message_w0"]
+    w_u = w0[:feature_size]
+    w_v = w0[feature_size : 2 * feature_size]
+    w_radial = w0[2 * feature_size :]  # [1, H]
+    hidden = w0.shape[-1]
+
+    # ---- forward recompute (activations stay in VMEM) ----
+    u_blk = _bf16_matmul(h_blk, w_u)  # [BI, H]
+    v_all = _bf16_matmul(h, w_v)  # [N, H]
+    pre0 = (
+        u_blk[:, None, :]
+        + v_all[None, :, :]
+        + radial_blk[:, :, None] * w_radial[None, :, :]
+        + params["message_b0"].reshape(1, 1, -1)
+    ).reshape(block_rows * n, hidden)
+    message_pres = [pre0]
+    act = jax.nn.silu(pre0)
+    message_acts = [act]  # a_0 .. a_{Lm-1}
+    for layer in range(1, n_message_layers):
+        pre = _bf16_matmul(
+            act, params[f"message_w{layer}"], params[f"message_b{layer}"]
+        )
+        act = jax.nn.silu(pre)
+        message_pres.append(pre)
+        message_acts.append(act)
+    m = act  # [P, H]
+
+    coord_pres = []
+    coord_acts = []
+    c_act = m
+    for layer in range(n_coordinate_layers):
+        pre = _bf16_matmul(
+            c_act, params[f"coord_w{layer}"], params[f"coord_b{layer}"]
+        )
+        c_act = jax.nn.silu(pre)
+        coord_pres.append(pre)
+        coord_acts.append(c_act)
+    phi_pre = _bf16_matmul(c_act, params["coord_wf"])  # [P, 1]
+
+    # ---- backward ----
+    # Aggregation: m_agg_i = sum_j w_ij m_ij.
+    dm = (weights_blk[:, :, None] * g_magg[:, None, :]).reshape(
+        block_rows * n, hidden
+    )
+    m_3d = m.reshape(block_rows, n, hidden)
+    dweights_ref[0] = jnp.sum(m_3d * g_magg[:, None, :], axis=-1)
+
+    # Coordinate gate chain.
+    dphi = g_phi.reshape(block_rows * n, 1)
+    if tanh:
+        phi = jnp.tanh(phi_pre)
+        dphi = dphi * (1.0 - phi**2)
+    dparam_refs["coord_wf"][:] += _bf16_matmul_t(c_act.T, dphi)
+    d_act = _bf16_matmul_t(dphi, params["coord_wf"], transpose_w=True)
+    for layer in range(n_coordinate_layers - 1, -1, -1):
+        d_pre = d_act * _silu_grad(coord_pres[layer])
+        inputs = coord_acts[layer - 1] if layer > 0 else m
+        dparam_refs[f"coord_w{layer}"][:] += _bf16_matmul_t(inputs.T, d_pre)
+        dparam_refs[f"coord_b{layer}"][:] += jnp.sum(
+            d_pre, axis=0, keepdims=True
+        )
+        d_act = _bf16_matmul_t(d_pre, params[f"coord_w{layer}"], transpose_w=True)
+    dm = dm + d_act  # total cotangent on m
+
+    # Message chain.
+    for layer in range(n_message_layers - 1, 0, -1):
+        d_pre = dm * _silu_grad(message_pres[layer])
+        dparam_refs[f"message_w{layer}"][:] += _bf16_matmul_t(
+            message_acts[layer - 1].T, d_pre
+        )
+        dparam_refs[f"message_b{layer}"][:] += jnp.sum(
+            d_pre, axis=0, keepdims=True
+        )
+        dm = _bf16_matmul_t(d_pre, params[f"message_w{layer}"], transpose_w=True)
+
+    ds0 = (dm * _silu_grad(message_pres[0])).reshape(block_rows, n, hidden)
+    du = jnp.sum(ds0, axis=1)  # [BI, H]
+    dv = jnp.sum(ds0, axis=0)  # [N, H]
+    ds0_flat = ds0.reshape(block_rows * n, hidden)
+
+    dradial_ref[0] = jnp.sum(ds0 * w_radial[None, :, :], axis=-1)
+    radial_flat = radial_blk.reshape(block_rows * n, 1)
+    # dW0, assembled in the un-split [2F+1, H] layout.
+    dparam_refs["message_w0"][:feature_size, :] += _bf16_matmul_t(h_blk.T, du)
+    dparam_refs["message_w0"][feature_size : 2 * feature_size, :] += (
+        _bf16_matmul_t(h.T, dv)
+    )
+    dparam_refs["message_w0"][2 * feature_size :, :] += _bf16_matmul_t(
+        radial_flat.T, ds0_flat
+    )
+    dparam_refs["message_b0"][:] += jnp.sum(ds0_flat, axis=0, keepdims=True)
+
+    # dh: row block gets the u-path; every source row gets the v-path.
+    dh_ref[0, rows, :] += _bf16_matmul_t(du, w_u, transpose_w=True)
+    dh_ref[0] += _bf16_matmul_t(dv, w_v, transpose_w=True)
+
+
+def pallas_message_block_bwd(
+    params,
+    h,
+    radial,
+    edge_weights,
+    g_magg,
+    g_phi,
+    *,
+    n_message_layers,
+    n_coordinate_layers,
+    tanh,
+    block_rows: int = 8,
+):
+    """Fused backward: returns (dparams, dh, dradial, dedge_weights)."""
+    batch, n, feature_size = h.shape
+    hidden = params["message_b0"].shape[-1]
+    block_rows = min(block_rows, n)
+    assert n % block_rows == 0, f"{n} targets not divisible by {block_rows}"
+    n_blocks = n // block_rows
+
+    param_names = sorted(params)
+
+    def prep(name):
+        value = params[name]
+        return value[None] if value.ndim == 1 else value
+
+    param_values = [prep(name) for name in param_names]
+
+    kernel = functools.partial(
+        _backward_kernel,
+        n_message_layers=n_message_layers,
+        n_coordinate_layers=n_coordinate_layers,
+        tanh=tanh,
+        param_names=param_names,
+        feature_size=feature_size,
+        block_rows=block_rows,
+    )
+
+    replicated = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b, k: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    row_block = lambda width: pl.BlockSpec(  # noqa: E731
+        (1, block_rows, width), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((batch, n, feature_size), jnp.float32),  # dh
+        jax.ShapeDtypeStruct((batch, n, n), jnp.float32),  # dradial
+        jax.ShapeDtypeStruct((batch, n, n), jnp.float32),  # dweights
+    ] + [jax.ShapeDtypeStruct(v.shape, jnp.float32) for v in param_values]
+    out_specs = [
+        pl.BlockSpec(
+            (1, n, feature_size), lambda b, k: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        row_block(n),
+        row_block(n),
+    ] + [replicated(v.shape) for v in param_values]
+
+    interpret = jax.default_backend() != "tpu"
+    outs = pl.pallas_call(
+        kernel,
+        grid=(batch, n_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n, feature_size), lambda b, k: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            row_block(n),  # radial
+            row_block(n),  # edge weights
+            row_block(hidden),  # g_magg
+            row_block(n),  # g_phi
+        ]
+        + [replicated(v.shape) for v in param_values],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(h, radial, edge_weights, g_magg, g_phi, *param_values)
+
+    dh, dradial, dweights = outs[:3]
+    dparams = {}
+    for name, value in zip(param_names, outs[3:]):
+        dparams[name] = value[0] if params[name].ndim == 1 else value
+    return dparams, dh, dradial, dweights
+
+
+# ------------------------------------------------------------- custom VJP
+
+# Global switch (tests flip it to compare paths); the Pallas backward is the
+# default — training no longer rematerializes through HBM-resident pair
+# tensors.
+use_pallas_backward = True
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_message_block(
     params, h, radial, edge_weights, n_message_layers, n_coordinate_layers, tanh
 ):
-    """Pallas-fused forward with a rematerializing jnp backward."""
+    """Pallas-fused forward with a Pallas-fused backward."""
     return pallas_message_block(
         params, h, radial, edge_weights,
         n_message_layers=n_message_layers,
@@ -252,6 +517,14 @@ def _fwd(params, h, radial, edge_weights, n_message_layers, n_coordinate_layers,
 
 def _bwd(n_message_layers, n_coordinate_layers, tanh, residuals, cotangents):
     params, h, radial, edge_weights = residuals
+    g_magg, g_phi = cotangents
+    if use_pallas_backward:
+        return pallas_message_block_bwd(
+            params, h, radial, edge_weights, g_magg, g_phi,
+            n_message_layers=n_message_layers,
+            n_coordinate_layers=n_coordinate_layers,
+            tanh=tanh,
+        )
     _, vjp = jax.vjp(
         lambda p, hh, rr, ww: dense_message_block(
             p, hh, rr, ww,

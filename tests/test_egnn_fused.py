@@ -71,8 +71,11 @@ def test_custom_vjp_gradients_flow(inputs):
         return jnp.sum(m_agg**2) + jnp.sum(phi**2)
 
     ref_params, ref_h = jax.grad(dense_loss, argnums=(0, 1))(params, h)
+    # The Pallas backward is its own bf16 computation: compare normalized by
+    # the gradient scale (bf16 accumulation noise is ~0.3% of scale here).
+    scale = float(np.abs(np.asarray(ref_h)).max())
     np.testing.assert_allclose(
-        np.asarray(grads_h), np.asarray(ref_h), atol=1e-3, rtol=1e-2
+        np.asarray(grads_h) / scale, np.asarray(ref_h) / scale, atol=1e-2
     )
 
 
@@ -120,3 +123,67 @@ def test_fused_egnn_network_properties(rng_key):
     np.testing.assert_allclose(
         np.asarray(out_r.X), np.asarray(out.X) @ rotation.T, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("tanh", [False, True])
+@pytest.mark.parametrize("block_rows", [4, 8])
+def test_pallas_backward_matches_dense_vjp(inputs, tanh, block_rows):
+    """The fused Pallas backward reproduces every gradient of the dense VJP
+    (params, h, radial, edge weights) to bf16-accumulation tolerance."""
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.models.egnn_fused import (
+        pallas_message_block_bwd,
+    )
+
+    params, h, radial, weights = inputs
+    key = jax.random.PRNGKey(7)
+    g_magg = jax.random.normal(key, (BATCH, N, H))
+    g_phi = jax.random.normal(jax.random.split(key)[0], (BATCH, N, N))
+
+    _, vjp = jax.vjp(
+        lambda p, hh, rr, ww: dense_message_block(
+            p, hh, rr, ww,
+            n_message_layers=N_MSG, n_coordinate_layers=N_COORD, tanh=tanh,
+        ),
+        params, h, radial, weights,
+    )
+    reference = vjp((g_magg, g_phi))
+    computed = pallas_message_block_bwd(
+        params, h, radial, weights, g_magg, g_phi,
+        n_message_layers=N_MSG, n_coordinate_layers=N_COORD, tanh=tanh,
+        block_rows=block_rows,
+    )
+    for computed_leaf, reference_leaf in zip(
+        jax.tree_util.tree_leaves(computed), jax.tree_util.tree_leaves(reference)
+    ):
+        scale = max(1e-6, float(np.abs(np.asarray(reference_leaf)).max()))
+        np.testing.assert_allclose(
+            np.asarray(computed_leaf) / scale,
+            np.asarray(reference_leaf) / scale,
+            atol=2e-2,
+        )
+
+
+def test_training_through_fused_block_uses_pallas_backward(inputs):
+    """An optimization step through the fused op decreases the loss with the
+    Pallas backward enabled (the production training path)."""
+    import optax
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.models import egnn_fused
+
+    assert egnn_fused.use_pallas_backward
+    params, h, radial, weights = inputs
+
+    def loss(p):
+        m_agg, phi = fused_message_block(p, h, radial, weights, N_MSG, N_COORD, False)
+        return jnp.mean(m_agg**2) + jnp.mean(phi**2)
+
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    p = params
+    values = []
+    for _ in range(5):
+        value, grads = jax.value_and_grad(loss)(p)
+        updates, opt_state = optimizer.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        values.append(float(value))
+    assert values[-1] < values[0]
