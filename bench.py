@@ -14,7 +14,16 @@ the same hardware and the same network, as an eager per-step host-driven loop
 execution architecture), extrapolated from a short run. vs_baseline is the
 scan throughput divided by that loop throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_reference_cpu: the measured throughput of a torch-CPU replica of the
+reference's production sampler (experiments/reference_cpu_baseline.py —
+architecture/workload from the reference's egnn.py and the Si 2x2x2 config
+of record), read from experiments/reference_cpu_baseline.json.
+
+flops / mfu: XLA's analytic FLOP count for the compiled trajectory programs,
+and the achieved fraction of the chip's peak matmul throughput.
+
+Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "vs_reference_cpu", "mfu", ...}.
 """
 
 import functools
@@ -84,6 +93,67 @@ def time_scan_sampler(generator):
     return elapsed
 
 
+# Peak dense-matmul throughput per chip (bf16), for the MFU estimate.
+_PEAK_FLOPS_BY_DEVICE_KIND = {
+    "TPU v5 lite": 197e12,  # v5e: 197 bf16 TFLOP/s
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,  # v6e
+}
+
+
+def analytic_flops_per_trajectory():
+    """FLOPs for one 32-sample trajectory: 3000 x the network-forward FLOPs.
+
+    The count comes from XLA's cost analysis of the *dense-path* forward
+    (use_fused_message_block=False), which is algebraically identical to the
+    fused kernel — Pallas custom calls are opaque to the HLO cost model, the
+    dense program is not. Per-step sampler updates (D3PM posterior, X/L
+    updates) are O(B*N*C) and negligible next to the network.
+    """
+    import jax
+
+    from __graft_entry__ import _flagship_pieces
+
+    network, params, batch = _flagship_pieces(
+        batch_size=BATCH, natoms=NATOMS, n_layers=4, hidden=256
+    )
+    dense_config = type(network.config)(
+        **{
+            **{
+                field: getattr(network.config, field)
+                for field in network.config.__dataclass_fields__
+            },
+            "use_fused_message_block": False,
+        }
+    )
+    dense_network = type(network)(dense_config)
+    # Fresh init: the dense path keeps the un-split layer-0 parameter layout.
+    dense_params = dense_network.init(jax.random.PRNGKey(0), batch, False)
+
+    lowered = jax.jit(
+        lambda p, b: dense_network.apply(p, b, False)
+    ).lower(dense_params, batch)
+    cost = lowered.compile().cost_analysis()
+    if not cost or "flops" not in cost or cost["flops"] <= 0:
+        return None
+    forwards = N_STEPS * (1 + N_CORRECTORS)
+    return float(cost["flops"]) * forwards
+
+
+def read_reference_cpu_baseline():
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "experiments",
+        "reference_cpu_baseline.json",
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
 def time_reference_style_loop(generator):
     """Host-driven per-step loop (the reference's execution architecture)."""
     import jax
@@ -117,6 +187,8 @@ def time_reference_style_loop(generator):
 
 
 def main():
+    import jax
+
     generator, _ = build_generator_and_network()
 
     scan_seconds = time_scan_sampler(generator)
@@ -134,6 +206,25 @@ def main():
         "unit": "samples/s",
         "vs_baseline": round(throughput / loop_throughput, 2),
     }
+
+    reference = read_reference_cpu_baseline()
+    if reference is not None:
+        result["vs_reference_cpu"] = round(
+            throughput / reference["samples_per_s"], 1
+        )
+        result["reference_cpu_samples_per_s"] = reference["samples_per_s"]
+
+    flops = analytic_flops_per_trajectory()
+    if flops is not None:
+        device_kind = jax.devices()[0].device_kind
+        peak = _PEAK_FLOPS_BY_DEVICE_KIND.get(device_kind)
+        result["tflops_per_trajectory"] = round(flops / 1e12, 2)
+        achieved = flops / scan_seconds
+        result["achieved_tflops_per_s"] = round(achieved / 1e12, 2)
+        if peak is not None:
+            result["mfu"] = round(achieved / peak, 4)
+            result["device_kind"] = device_kind
+
     print(json.dumps(result))
 
 
