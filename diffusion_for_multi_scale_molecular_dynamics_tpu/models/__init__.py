@@ -43,3 +43,8 @@ __all__ = [
     "impose_non_mask_atomic_type_prediction",
     "validate_score_network_batch",
 ]
+from .egnn_import import (
+    convert_reference_egnn_state_dict,
+    load_reference_egnn_checkpoint,
+    load_torch_state_dict,
+)
