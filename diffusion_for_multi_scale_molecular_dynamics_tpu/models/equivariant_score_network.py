@@ -74,7 +74,9 @@ class EquivariantScoreNetworkConfig(ScoreNetworkConfig):
         if self.use_pretrained:
             raise NotImplementedError(
                 "pretrained torch MACE checkpoints cannot be loaded into the "
-                "TPU-native equivariant network; train from fresh weights"
+                "TPU-native equivariant network; train from fresh weights. "
+                "(Reference-trained EGNN checkpoints — the production "
+                "architecture — do import: models/egnn_import.py.)"
             )
 
 

@@ -1,0 +1,220 @@
+"""Evaluate a trained checkpoint: sampler sweep + SW-energy/structure KS.
+
+For each sweep entry, generates samples with the requested sampler settings,
+scores them with the native Stillinger-Weber oracle, and computes the
+two-sample KS distance against the reference (validation) energy and
+pair-distance distributions — the exact metrics of the reference's
+validation loop (axl_diffusion_lightning_model.py:599-651). Results append
+to a JSON file for the round write-up.
+
+Usage:
+    python experiments/eval_checkpoint.py --checkpoint out/si_2x2x2_round2 \
+        --data data/si_diffusion_2x2x2 --samples 64 --sweep default
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CELL = [10.86, 10.86, 10.86]
+NATOMS = 64
+
+
+def load_reference_distributions(data_directory, max_frames=2000):
+    """Validation-set energies (eV) and pair distances from the parquet data."""
+    import glob
+
+    import pandas as pd
+
+    frames = []
+    for path in sorted(glob.glob(os.path.join(data_directory, "valid_run_*.parquet"))):
+        frames.append(pd.read_parquet(path))
+    data = pd.concat(frames).head(max_frames)
+    energies = data["potential_energy"].to_numpy()
+    coordinates = np.stack(
+        [row.reshape(-1, 3) for row in data["relative_coordinates"].head(256)]
+    )
+    return energies, coordinates
+
+
+def pair_distances(relative_coordinates, cell, max_distance=5.0):
+    """Min-image pair distances below max_distance (the structure metric)."""
+    delta = relative_coordinates[:, :, None, :] - relative_coordinates[:, None, :, :]
+    delta -= np.round(delta)
+    distances = np.linalg.norm(delta * np.asarray(cell), axis=-1)
+    natoms = relative_coordinates.shape[1]
+    mask = ~np.eye(natoms, dtype=bool)
+    values = distances[:, mask].ravel()
+    return values[values < max_distance]
+
+
+def evaluate(axl_network, oracle, reference_energies, reference_distances, spec, key):
+    """Generate + score one sweep entry; returns a result dict."""
+    import jax
+    from scipy.stats import ks_2samp
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.generators import (
+        AdaptiveCorrectorGenerator,
+        LangevinGenerator,
+        PredictorCorrectorSamplingParameters,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.generators.ode_position_generator import (
+        ExplodingVarianceODEAXLGenerator,
+        ODESamplingParameters,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.noise_schedulers import (
+        NoiseParameters,
+    )
+
+    noise_parameters = NoiseParameters(
+        total_time_steps=spec.get("steps", 1000),
+        schedule_type="linear",
+        sigma_min=1e-4,
+        sigma_max=0.2,
+        corrector_step_epsilon=spec.get("epsilon", 2.5e-8),
+        corrector_r=spec.get("corrector_r", 0.17),
+    )
+    common = dict(
+        num_atom_types=1,
+        number_of_atoms=NATOMS,
+        number_of_samples=spec["samples"],
+        use_fixed_lattice_parameters=True,
+        cell_dimensions=CELL,
+        record_samples=False,
+    )
+    algorithm = spec.get("algorithm", "predictor_corrector")
+    if algorithm == "ode":
+        generator = ExplodingVarianceODEAXLGenerator(
+            noise_parameters,
+            ODESamplingParameters(algorithm="ode", **common),
+            axl_network,
+        )
+    else:
+        sampling_parameters = PredictorCorrectorSamplingParameters(
+            algorithm=algorithm,
+            number_of_corrector_steps=spec.get("correctors", 2),
+            **common,
+        )
+        cls = (
+            AdaptiveCorrectorGenerator
+            if algorithm == "adaptive_corrector"
+            else LangevinGenerator
+        )
+        generator = cls(noise_parameters, sampling_parameters, axl_network)
+
+    t0 = time.time()
+    samples = generator.sample(key, spec["samples"])
+    jax.block_until_ready(samples.X)
+    elapsed = time.time() - t0
+
+    energies, _ = oracle.compute_oracle_energies_and_forces(samples)
+    energies = np.asarray(energies)
+    sample_distances = pair_distances(np.asarray(samples.X), CELL)
+
+    ks_energy = ks_2samp(energies, reference_energies)
+    ks_structure = ks_2samp(sample_distances, reference_distances)
+    per_atom = energies / NATOMS
+    result = {
+        **spec,
+        "seconds": round(elapsed, 2),
+        "energy_per_atom_median": float(np.median(per_atom)),
+        "energy_per_atom_mean": float(np.mean(per_atom)),
+        "energy_per_atom_std": float(np.std(per_atom)),
+        "fraction_above_-3eV": float(np.mean(per_atom > -3.0)),
+        "ks_energy": float(ks_energy.statistic),
+        "ks_energy_pvalue": float(ks_energy.pvalue),
+        "ks_structure": float(ks_structure.statistic),
+    }
+    return result
+
+
+SWEEPS = {
+    "default": [
+        {"name": "pc_2corr", "correctors": 2, "samples": 64},
+        {"name": "pc_3corr", "correctors": 3, "samples": 64},
+        {"name": "pc_4corr", "correctors": 4, "samples": 64},
+        {"name": "pc_2corr_eps5e-8", "correctors": 2, "epsilon": 5e-8, "samples": 64},
+        {"name": "pc_3corr_eps1.2e-8", "correctors": 3, "epsilon": 1.25e-8, "samples": 64},
+        {"name": "ode", "algorithm": "ode", "samples": 64},
+        {
+            "name": "adaptive_r0.017",
+            "algorithm": "adaptive_corrector",
+            "correctors": 2,
+            "corrector_r": 0.017,
+            "samples": 64,
+        },
+    ],
+    "final": [
+        {"name": "best_rerun_128", "correctors": 3, "samples": 128},
+    ],
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--data", default="data/si_diffusion_2x2x2")
+    parser.add_argument("--sweep", default="default")
+    parser.add_argument("--entries", default=None, help="comma-separated names")
+    parser.add_argument("--prefer", default="best")
+    parser.add_argument("--output", default=None)
+    parser.add_argument("--seed", type=int, default=777)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.oracle.stillinger_weber import (
+        StillingerWeberOracle,
+        StillingerWeberParameters,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.restore import (
+        load_axl_network_from_checkpoint,
+    )
+
+    axl_network = load_axl_network_from_checkpoint(args.checkpoint, prefer=args.prefer)
+    oracle = StillingerWeberOracle(
+        StillingerWeberParameters(name="stillinger_weber", sw_coeff_filename="Si.sw")
+    )
+    reference_energies, reference_coordinates = load_reference_distributions(args.data)
+    reference_distances = pair_distances(reference_coordinates, CELL)
+    print(
+        f"reference: {len(reference_energies)} frames, "
+        f"E/atom mean {reference_energies.mean() / NATOMS:.4f} "
+        f"std {reference_energies.std() / NATOMS:.4f}"
+    )
+
+    sweep = SWEEPS[args.sweep]
+    if args.entries:
+        wanted = set(args.entries.split(","))
+        sweep = [spec for spec in sweep if spec["name"] in wanted]
+
+    output_path = args.output or os.path.join(
+        args.checkpoint, f"eval_{args.sweep}.json"
+    )
+    results = []
+    if os.path.exists(output_path):
+        with open(output_path) as fh:
+            results = json.load(fh)
+    key = jax.random.PRNGKey(args.seed)
+    for spec in sweep:
+        key, entry_key = jax.random.split(key)
+        result = evaluate(
+            axl_network, oracle, reference_energies, reference_distances,
+            spec, entry_key,
+        )
+        results.append(result)
+        print(json.dumps(result))
+        with open(output_path, "w") as fh:
+            json.dump(results, fh, indent=1)
+    print(f"wrote {output_path}")
+
+
+if __name__ == "__main__":
+    main()
