@@ -1,0 +1,399 @@
+r"""MACE building blocks: interactions and the higher-order product basis.
+
+The native TPU rebuild of the blocks the reference imports from mace-torch
+(``MACE``, ``RealAgnosticInteractionBlock``, ``RealAgnosticResidualInteractionBlock``,
+``EquivariantProductBasisBlock`` — wired up in
+src/diffusion_for_multi_scale_molecular_dynamics/models/score_networks/
+mace_score_network.py:85-127 and models/diffusion_mace.py:131-465).
+
+Design differences from the torch/e3nn implementation (same function class,
+TPU-first execution):
+
+* Graphs are dense masked pair tensors [B, N, N] over minimum-image
+  displacements (valid because the box is clipped to >= 2.2 r_max, the
+  reference's own trick, mace_score_network.py:172), not COO edge lists —
+  every op is a batched einsum on static shapes.
+* The symmetric contraction (correlation <= 3) is built from *iterated*
+  Clebsch-Gordan couplings with one weight per (ordered multiset, intermediate)
+  path instead of e3nn's precomputed symmetrized U matrices. The spanned
+  function space is the same (any symmetric coupling decomposes over iterated
+  couplings); the weight basis differs, which only matters for bit-exact
+  weight import (see models/mace_import.py for the mapping contract).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.irreps_layers import (
+    IrrepsLinear,
+    ScalarTensorProduct,
+    bessel_basis,
+    polynomial_cutoff,
+    tensor_product_paths,
+    weighted_tensor_product,
+)
+from ..ops.so3 import (
+    Irrep,
+    Irreps,
+    clebsch_gordan,
+    concat_irreps,
+    spherical_harmonics,
+    split_irreps,
+)
+
+__all__ = [
+    "interaction_irreps",
+    "mace_output_irreps",
+    "SymmetricContraction",
+    "RadialMLP",
+    "MaceInteraction",
+    "MaceFeatureExtractor",
+]
+
+
+def interaction_irreps(channels: int, lmax: int) -> Irreps:
+    """MACE's message irreps: channels x (0e + 1o + 2e + ... + lmax)."""
+    return Irreps([(channels, Irrep(l, (-1) ** l)) for l in range(lmax + 1)])
+
+
+def mace_output_irreps(hidden_irreps: str, num_interactions: int) -> Irreps:
+    """Irreps of the concatenated node features MACE outputs.
+
+    Every interaction contributes its hidden irreps except the last, which
+    keeps only the scalar part — this is what makes the reference's
+    pretrained models output 256/640/1280 features for hidden 128x0e /
+    128x0e+128x1o / +128x2e (models/mace_utils.py:103-130).
+    """
+    hidden = Irreps(hidden_irreps)
+    scalars = Irreps([(mul, ir) for mul, ir in hidden if ir.l == 0])
+    out: Irreps = Irreps("")
+    for _ in range(num_interactions - 1):
+        out = out + hidden
+    return out + scalars
+
+
+def _symmetric_paths(
+    irreps_a: Irreps, target: Irrep, correlation: int
+) -> Tuple[List[int], List[Tuple[int, int]], List[Tuple[int, int, int, int]]]:
+    """Iterated-coupling path sets for one output irrep, orders 1..3."""
+    groups = list(Irreps(irreps_a))
+    order1 = [i for i, (_, ir) in enumerate(groups) if ir == target]
+    order2, order3 = [], []
+    if correlation >= 2:
+        for i1, (_, ir1) in enumerate(groups):
+            for i2, (_, ir2) in enumerate(groups):
+                if i2 < i1:
+                    continue
+                if ir1.p * ir2.p != target.p:
+                    continue
+                if abs(ir1.l - ir2.l) <= target.l <= ir1.l + ir2.l:
+                    order2.append((i1, i2))
+    if correlation >= 3:
+        for i1, (_, ir1) in enumerate(groups):
+            for i2, (_, ir2) in enumerate(groups):
+                if i2 < i1:
+                    continue
+                for i3, (_, ir3) in enumerate(groups):
+                    if i3 < i2:
+                        continue
+                    if ir1.p * ir2.p * ir3.p != target.p:
+                        continue
+                    for lam in range(abs(ir1.l - ir2.l), ir1.l + ir2.l + 1):
+                        if abs(lam - ir3.l) <= target.l <= lam + ir3.l:
+                            order3.append((i1, i2, i3, lam))
+    return order1, order2, order3
+
+
+class SymmetricContraction(nn.Module):
+    """Element-conditioned symmetric products of the A-basis, correlation <= 3.
+
+    B_L = sum_nu sum_paths w[element, path, channel] * (A (x) ... (x) A)_path
+    with per-channel (depthwise) contractions, exactly MACE's product basis
+    role; weights are selected by the node's element one-hot as in
+    mace-torch's ``SymmetricContraction`` (reference usage:
+    diffusion_mace.py:131-465 via EquivariantProductBasisBlock).
+    """
+
+    irreps_a: str
+    irreps_out: str
+    correlation: int = 3
+    num_elements: int = 2
+
+    @nn.compact
+    def __call__(self, a_features, node_attrs):
+        """a_features: [..., irreps_a.dim]; node_attrs: [..., num_elements]."""
+        irreps_a = Irreps(self.irreps_a)
+        irreps_out = Irreps(self.irreps_out)
+        assert 1 <= self.correlation <= 3
+        a_blocks = split_irreps(a_features, irreps_a)
+        blocks_out = []
+        for i_out, (mul_out, ir_out) in enumerate(irreps_out):
+            channels = mul_out
+            order1, order2, order3 = _symmetric_paths(
+                irreps_a, ir_out, self.correlation
+            )
+            shape = a_features.shape[:-1] + (channels, ir_out.dim)
+            total = jnp.zeros(shape, dtype=a_features.dtype)
+            n_paths = len(order1) + len(order2) + len(order3)
+            if n_paths == 0:
+                blocks_out.append(total)
+                continue
+
+            def path_weights(name, count):
+                w = self.param(
+                    name,
+                    _contraction_init(),
+                    (self.num_elements, count, channels),
+                    jnp.float32,
+                )
+                # [..., count, channels] selected by the element one-hot.
+                return jnp.einsum(
+                    "...e,epc->...pc", node_attrs, w.astype(a_features.dtype)
+                )
+
+            if order1:
+                w1 = path_weights(f"w1_{i_out}", len(order1))
+                for p, i1 in enumerate(order1):
+                    total = total + w1[..., p, :, None] * a_blocks[i1]
+            if order2:
+                w2 = path_weights(f"w2_{i_out}", len(order2))
+                for p, (i1, i2) in enumerate(order2):
+                    l1 = irreps_a[i1][1].l
+                    l2 = irreps_a[i2][1].l
+                    coupling = jnp.asarray(
+                        clebsch_gordan(l1, l2, ir_out.l), dtype=a_features.dtype
+                    )
+                    term = jnp.einsum(
+                        "abM,...ca,...cb->...cM", coupling, a_blocks[i1],
+                        a_blocks[i2],
+                    )
+                    total = total + w2[..., p, :, None] * term
+            if order3:
+                w3 = path_weights(f"w3_{i_out}", len(order3))
+                for p, (i1, i2, i3, lam) in enumerate(order3):
+                    l1 = irreps_a[i1][1].l
+                    l2 = irreps_a[i2][1].l
+                    l3 = irreps_a[i3][1].l
+                    c12 = jnp.asarray(
+                        clebsch_gordan(l1, l2, lam), dtype=a_features.dtype
+                    )
+                    c3 = jnp.asarray(
+                        clebsch_gordan(lam, l3, ir_out.l), dtype=a_features.dtype
+                    )
+                    intermediate = jnp.einsum(
+                        "abm,...ca,...cb->...cm", c12, a_blocks[i1], a_blocks[i2]
+                    )
+                    term = jnp.einsum(
+                        "mdM,...cm,...cd->...cM", c3, intermediate, a_blocks[i3]
+                    )
+                    total = total + w3[..., p, :, None] * term
+            blocks_out.append(total / math.sqrt(n_paths))
+        return concat_irreps(blocks_out)
+
+
+def _contraction_init():
+    return nn.initializers.normal(stddev=1.0)
+
+
+def _silu_second_moment() -> float:
+    """E[silu(x)^2] for x ~ N(0,1) — e3nn's normalize2mom constant."""
+    grid = np.linspace(-12.0, 12.0, 200001)
+    silu = grid / (1.0 + np.exp(-grid))
+    density = np.exp(-0.5 * grid**2) / math.sqrt(2.0 * math.pi)
+    return float(np.trapezoid(silu**2 * density, grid))
+
+
+# Scale so silu of a unit-variance input has unit second moment, matching
+# e3nn's FullyConnectedNet activation normalization (bit-relevant for
+# checkpoint import, models/mace_import.py).
+_SILU_NORM = 1.0 / math.sqrt(_silu_second_moment())
+
+
+class RadialMLP(nn.Module):
+    """e3nn-style FullyConnectedNet: no biases, variance-normalized silu,
+    1/sqrt(fan_in) weight scaling, parameters named layer{k} as in e3nn."""
+
+    hidden_sizes: Tuple[int, ...]
+    output_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        sizes = tuple(self.hidden_sizes) + (self.output_size,)
+        for depth, size in enumerate(sizes):
+            w = self.param(
+                f"layer{depth}", _contraction_init(), (x.shape[-1], size),
+                jnp.float32,
+            )
+            x = x @ w.astype(x.dtype) / math.sqrt(x.shape[-1])
+            if depth < len(sizes) - 1:
+                x = nn.silu(x) * _SILU_NORM
+        return x
+
+
+class MaceInteraction(nn.Module):
+    """One MACE interaction: conv_tp message passing over the dense pair grid.
+
+    ``residual=False`` is the reference's RealAgnosticInteractionBlock (the
+    element-conditioned skip_tp is applied to the *message*, no residual);
+    ``residual=True`` is RealAgnosticResidualInteractionBlock (skip_tp on the
+    input features, returned separately for the product block to add).
+    """
+
+    irreps_in: str
+    irreps_target: str  # interaction (message) irreps
+    lmax_sh: int
+    num_elements: int
+    avg_num_neighbors: float
+    radial_mlp: Tuple[int, ...] = (64, 64, 64)
+    num_bessel: int = 8
+    num_polynomial_cutoff: int = 5
+    r_max: float = 5.0
+    residual: bool = True
+    # Residual skip target irreps (the hidden irreps of the layer).
+    irreps_skip: str = ""
+
+    @nn.compact
+    def __call__(self, node_feats, node_attrs, harmonics, distances, pair_mask):
+        """node_feats [B,N,Din]; harmonics [B,N,N,(lmax+1)^2]; pair_mask [B,N,N]."""
+        irreps_in = Irreps(self.irreps_in)
+        irreps_target = Irreps(self.irreps_target)
+        paths = tensor_product_paths(irreps_in, self.lmax_sh, irreps_target)
+        channels = irreps_in[0][0]
+
+        feats_up = IrrepsLinear(
+            str(irreps_in), str(irreps_in), name="linear_up"
+        )(node_feats)
+
+        radial = bessel_basis(distances, self.r_max, self.num_bessel)
+        envelope = polynomial_cutoff(
+            distances, self.r_max, self.num_polynomial_cutoff
+        )
+        radial = (radial * envelope[..., None]).astype(node_feats.dtype)
+        tp_weights = RadialMLP(
+            tuple(self.radial_mlp), len(paths) * channels, name="conv_tp_weights"
+        )(radial)
+        # Mask invalid pairs (self edges, padding, beyond cutoff): the
+        # harmonics of zero/padded displacements are nonzero for even l, so
+        # masking the weights is what zeroes those messages.
+        tp_weights = tp_weights * pair_mask[..., None].astype(tp_weights.dtype)
+
+        # Messages m_ij from source features j coupled with Y(r_ij).
+        source_feats = jnp.broadcast_to(
+            feats_up[:, None, :, :],
+            feats_up.shape[:1] + (feats_up.shape[1],) + feats_up.shape[1:],
+        )
+        messages = weighted_tensor_product(
+            source_feats,
+            harmonics.astype(node_feats.dtype),
+            tp_weights,
+            irreps_in,
+            self.lmax_sh,
+            irreps_target,
+            paths=paths,
+        )
+        aggregated = jnp.sum(messages, axis=2) / self.avg_num_neighbors
+        aggregated = IrrepsLinear(
+            str(irreps_target), str(irreps_target), name="linear"
+        )(aggregated)
+
+        if self.residual:
+            skip = ScalarTensorProduct(
+                f"{self.num_elements}x0e",
+                str(irreps_in),
+                self.irreps_skip,
+                name="skip_tp",
+            )(node_attrs.astype(node_feats.dtype), node_feats)
+            return aggregated, skip
+        skip_mixed = ScalarTensorProduct(
+            f"{self.num_elements}x0e",
+            str(irreps_target),
+            str(irreps_target),
+            name="skip_tp",
+        )(node_attrs.astype(node_feats.dtype), aggregated)
+        return skip_mixed, None
+
+
+class MaceFeatureExtractor(nn.Module):
+    """The MACE trunk: embedding -> interactions x product basis -> node feats.
+
+    Returns the concatenation of every interaction's node features (scalars
+    only for the last one), matching the reference's use of mace-torch MACE
+    as a frozen/trainable feature extractor
+    (mace_score_network.py:107-127, mace_utils.py:103-130).
+    """
+
+    num_elements: int
+    hidden_irreps: str = "128x0e"
+    num_interactions: int = 2
+    max_ell: int = 3
+    correlation: int = 3
+    r_max: float = 5.0
+    num_bessel: int = 8
+    num_polynomial_cutoff: int = 5
+    avg_num_neighbors: float = 1.0
+    radial_mlp: Tuple[int, ...] = (64, 64, 64)
+
+    @nn.compact
+    def __call__(self, node_attrs, vectors, distances, pair_mask):
+        """node_attrs [B,N,E] one-hot; vectors/distances: min-image pair data.
+
+        vectors [B,N,N,3] (Cartesian), distances [B,N,N], pair_mask [B,N,N]
+        true for real pairs within the cutoff.
+        """
+        hidden = Irreps(self.hidden_irreps)
+        channels = hidden[0][0]
+        message_irreps = interaction_irreps(channels, self.max_ell)
+        scalar_hidden = Irreps([(mul, ir) for mul, ir in hidden if ir.l == 0])
+
+        safe = jnp.where(distances > 1e-8, distances, 1.0)[..., None]
+        unit = vectors / safe
+        harmonics = spherical_harmonics(self.max_ell, unit)
+
+        node_feats = IrrepsLinear(
+            f"{self.num_elements}x0e", str(scalar_hidden), name="node_embedding"
+        )(node_attrs.astype(jnp.float32))
+
+        outputs = []
+        current_irreps = scalar_hidden
+        for index in range(self.num_interactions):
+            last = index == self.num_interactions - 1
+            target_hidden = scalar_hidden if last else hidden
+            messages, skip = MaceInteraction(
+                irreps_in=str(current_irreps),
+                irreps_target=str(message_irreps),
+                irreps_skip=str(target_hidden),
+                lmax_sh=self.max_ell,
+                num_elements=self.num_elements,
+                avg_num_neighbors=self.avg_num_neighbors,
+                radial_mlp=tuple(self.radial_mlp),
+                num_bessel=self.num_bessel,
+                num_polynomial_cutoff=self.num_polynomial_cutoff,
+                r_max=self.r_max,
+                residual=index > 0,
+                name=f"interaction_{index}",
+            )(node_feats, node_attrs, harmonics, distances, pair_mask)
+            contracted = SymmetricContraction(
+                irreps_a=str(message_irreps),
+                irreps_out=str(target_hidden),
+                correlation=self.correlation,
+                num_elements=self.num_elements,
+                name=f"product_{index}",
+            )(messages, node_attrs.astype(messages.dtype))
+            node_feats = IrrepsLinear(
+                str(target_hidden), str(target_hidden),
+                name=f"product_linear_{index}",
+            )(contracted)
+            if skip is not None:
+                node_feats = node_feats + skip
+            outputs.append(node_feats)
+            current_irreps = target_hidden
+        return jnp.concatenate(outputs, axis=-1)
+
+    def output_irreps(self) -> Irreps:
+        return mace_output_irreps(self.hidden_irreps, self.num_interactions)

@@ -1,0 +1,261 @@
+r"""MACE score network: a MACE feature extractor + score prediction heads.
+
+The native rebuild of the reference's "mace" architecture
+(src/diffusion_for_multi_scale_molecular_dynamics/models/score_networks/
+mace_score_network.py:27-200): node features from a MACE trunk (optionally
+imported from a released mace-torch checkpoint and frozen), a coordinate
+prediction head (MLP or equivariant, score_prediction_head.py:61/:112) fed
+with the diffusion time, and an MLP atom-type head. The X output is a
+Cartesian score converted to fractional coordinates through the cell, the L
+head is zeros — identical output conventions.
+
+Pretrained weights: the reference downloads the released small/medium/large
+MACE checkpoints at runtime (models/mace_utils.py:133). Here
+``use_pretrained`` takes a *local path* to such a torch checkpoint's state
+dict; models/mace_import.py maps it onto the flax trunk (this environment
+has no network egress, so downloading is the caller's job). ``freeze_trunk``
+reproduces the reference's frozen-feature-extractor mode via stop_gradient.
+"""
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..namespace import ATOM_MASK, AXL, NOISY_AXL_COMPOSITION, TIME
+from ..ops.geometry import map_lattice_parameters_to_unit_cell_vectors
+from ..ops.irreps_layers import IrrepsLinear, ScalarTensorProduct
+from ..ops.neighbors import get_orthogonal_min_image_displacements
+from ..ops.so3 import Irreps, irrep_to_vector, split_irreps, concat_irreps
+from .mace_modules import MaceFeatureExtractor, mace_output_irreps
+from .score_network import (
+    ScoreNetworkConfig,
+    broadcast_per_graph_scalar_to_nodes,
+    impose_non_mask_atomic_type_prediction,
+)
+
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True, kw_only=True)
+class MaceScoreNetworkConfig(ScoreNetworkConfig):
+    """Hyperparameters of the MACE score network.
+
+    Field names follow the reference's MACEScoreNetworkParameters
+    (mace_score_network.py:27-61) where they exist there.
+    """
+
+    architecture: str = "mace"
+    r_max: float = 5.0
+    num_bessel: int = 8
+    num_polynomial_cutoff: int = 5
+    max_ell: int = 2
+    num_interactions: int = 2
+    hidden_irreps: str = "128x0e + 128x1o"
+    avg_num_neighbors: float = 1.0
+    correlation: int = 3
+    radial_mlp: Tuple[int, ...] = (64, 64, 64)
+    # Number of element channels for the one-hot node attributes. Fresh
+    # models default to num_atom_types + 1 (MASK gets a channel); imported
+    # checkpoints use the checkpoint's own table (89 for the released ones).
+    num_elements: Optional[int] = None
+    # Coordinate prediction head: "mlp" or "equivariant"
+    # (score_prediction_head.py:61/:112).
+    prediction_head: str = "equivariant"
+    head_hidden_size: int = 64
+    head_n_hidden_layers: int = 2
+    time_embedding_irreps: str = "16x0e"
+    head_number_of_layers: int = 2
+    atom_type_head_hidden_size: int = 64
+    atom_type_head_n_hidden_layers: int = 2
+    # Local path to a torch MACE checkpoint state dict (no download; the
+    # reference fetches small/medium/large at mace_utils.py:133).
+    use_pretrained: Optional[str] = None
+    freeze_trunk: bool = False
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        assert self.prediction_head in ("mlp", "equivariant")
+        assert 1 <= self.correlation <= 3
+        assert 0 <= self.max_ell <= 3
+
+    @property
+    def resolved_num_elements(self) -> int:
+        return (
+            self.num_elements
+            if self.num_elements is not None
+            else self.num_atom_types + 1
+        )
+
+    @property
+    def output_node_irreps(self) -> Irreps:
+        return mace_output_irreps(self.hidden_irreps, self.num_interactions)
+
+
+class _MlpHead(nn.Module):
+    """ReLU MLP on (node features, time) — MaceMLPScorePredictionHead."""
+
+    hidden_size: int
+    n_hidden_layers: int
+    output_size: int
+
+    @nn.compact
+    def __call__(self, node_features, times):
+        h = jnp.concatenate([node_features, times], axis=-1)
+        for index in range(self.n_hidden_layers):
+            h = nn.relu(nn.Dense(self.hidden_size, name=f"hidden_{index}")(h))
+        return nn.Dense(self.output_size, name="output")(h)
+
+
+class _EquivariantHead(nn.Module):
+    """Time-conditioned equivariant head — MaceEquivariantScorePredictionHead.
+
+    time -> 0e embedding; mixed into the node features with a scalar tensor
+    product; then stacked [IrrepsLinear -> per-irrep RMS norm -> gated silu
+    on scalars]; linear readout to a single 1o vector. The reference's e3nn
+    BatchNorm (running batch statistics, score_prediction_head.py:155) is
+    replaced by a batch-independent per-irrep RMS norm — jit-friendly and
+    identical in role (activation-scale control).
+    """
+
+    feature_irreps: str
+    time_embedding_irreps: str = "16x0e"
+    number_of_layers: int = 2
+
+    @nn.compact
+    def __call__(self, node_features, times):
+        feature_irreps = Irreps(self.feature_irreps)
+        mixed_irreps, _ = feature_irreps.sort()
+        mixed_irreps = mixed_irreps.simplify()
+
+        time_embedding = IrrepsLinear(
+            "1x0e", self.time_embedding_irreps, name="time_embedding"
+        )(times)
+        h = ScalarTensorProduct(
+            self.time_embedding_irreps,
+            str(feature_irreps),
+            str(mixed_irreps),
+            name="time_mixing",
+        )(time_embedding, node_features)
+
+        for index in range(self.number_of_layers):
+            h = IrrepsLinear(
+                str(mixed_irreps), str(mixed_irreps), name=f"linear_{index}"
+            )(h)
+            h = _irreps_rms_norm(h, mixed_irreps)
+            h = _gated_scalar_activation(h, mixed_irreps)
+        vector = IrrepsLinear(str(mixed_irreps), "1x1o", name="readout")(h)
+        return irrep_to_vector(vector)
+
+
+def _irreps_rms_norm(features, irreps: Irreps, eps: float = 1e-6):
+    """Normalize each irrep group by the RMS of its channel norms."""
+    blocks = split_irreps(features, irreps)
+    normalized = []
+    for block in blocks:
+        mean_square = jnp.mean(jnp.sum(block**2, axis=-1), axis=-1, keepdims=True)
+        normalized.append(block * jax.lax.rsqrt(mean_square + eps)[..., None])
+    return concat_irreps(normalized)
+
+
+def _gated_scalar_activation(features, irreps: Irreps):
+    """silu on l=0 blocks, identity on l>0 (the reference's Activation with
+    [gate] + [None]*k, score_prediction_head.py:160-165)."""
+    blocks = split_irreps(features, irreps)
+    activated = [
+        nn.silu(block) if ir.l == 0 else block
+        for block, (_, ir) in zip(blocks, irreps)
+    ]
+    return concat_irreps(activated)
+
+
+class MaceScoreNetwork(nn.Module):
+    """MACE trunk + prediction heads mapping a noisy AXL batch to scores."""
+
+    config: MaceScoreNetworkConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], conditional: bool = False) -> AXL:
+        cfg = self.config
+        composition = batch[NOISY_AXL_COMPOSITION]
+        x = composition.X
+        batch_size, natoms, d = x.shape
+
+        # Collapse-guarded cell, as the reference clips the box to
+        # >= 2.2 r_max (mace_score_network.py:170-175); with that guarantee
+        # minimum-image displacements are exact (no 3^d image expansion).
+        lattice = jnp.clip(composition.L, min=2.2 * cfg.r_max)
+        lattice = lattice.at[:, d:].set(0.0)
+        cell = map_lattice_parameters_to_unit_cell_vectors(lattice)
+
+        disp = get_orthogonal_min_image_displacements(x, cell)  # [B,N,N,d]
+        r2 = jnp.sum(disp**2, axis=-1)
+        nonzero = r2 > 1e-12
+        distances = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
+        pair_mask = (distances <= cfg.r_max) & nonzero
+        atom_mask = batch.get(ATOM_MASK)
+        if atom_mask is not None:
+            pair_mask = pair_mask & atom_mask[:, :, None] & atom_mask[:, None, :]
+
+        node_attrs = jax.nn.one_hot(
+            composition.A, cfg.resolved_num_elements, dtype=jnp.float32
+        )
+
+        trunk = MaceFeatureExtractor(
+            num_elements=cfg.resolved_num_elements,
+            hidden_irreps=cfg.hidden_irreps,
+            num_interactions=cfg.num_interactions,
+            max_ell=cfg.max_ell,
+            correlation=cfg.correlation,
+            r_max=cfg.r_max,
+            num_bessel=cfg.num_bessel,
+            num_polynomial_cutoff=cfg.num_polynomial_cutoff,
+            avg_num_neighbors=cfg.avg_num_neighbors,
+            radial_mlp=tuple(cfg.radial_mlp),
+            name="mace",
+        )
+        node_features = trunk(node_attrs, disp, distances, pair_mask)
+        if cfg.freeze_trunk:
+            # The reference freezes the pretrained extractor
+            # (mace_score_network.py:27 docstring / mace_utils.py:133).
+            node_features = jax.lax.stop_gradient(node_features)
+
+        times = broadcast_per_graph_scalar_to_nodes(batch[TIME], natoms)
+        feature_irreps = str(cfg.output_node_irreps)
+
+        if cfg.prediction_head == "equivariant":
+            cartesian_scores = _EquivariantHead(
+                feature_irreps=feature_irreps,
+                time_embedding_irreps=cfg.time_embedding_irreps,
+                number_of_layers=cfg.head_number_of_layers,
+                name="coordinates_head",
+            )(node_features, times)
+        else:
+            cartesian_scores = _MlpHead(
+                hidden_size=cfg.head_hidden_size,
+                n_hidden_layers=cfg.head_n_hidden_layers,
+                output_size=d,
+                name="coordinates_head",
+            )(node_features, times)
+
+        logits = _MlpHead(
+            hidden_size=cfg.atom_type_head_hidden_size,
+            n_hidden_layers=cfg.atom_type_head_n_hidden_layers,
+            output_size=cfg.num_classes,
+            name="atom_types_head",
+        )(node_features, times)
+
+        # Covector conversion to fractional coordinates: s_frac = cell @ s_cart
+        # (same contraction as diffusion_mace_score_network.py:160-165).
+        coordinates_scores = jnp.einsum(
+            "bia,bna->bni", cell, cartesian_scores, precision=_EXACT
+        )
+
+        output = AXL(
+            A=logits,
+            X=coordinates_scores,
+            L=jnp.zeros_like(composition.L),
+        )
+        return impose_non_mask_atomic_type_prediction(output)

@@ -16,16 +16,20 @@ from .equivariant_score_network import (
     EquivariantScoreNetwork,
     EquivariantScoreNetworkConfig,
 )
+from .mace_score_network import MaceScoreNetwork, MaceScoreNetworkConfig
 from .mlp_score_network import MLPScoreNetwork, MLPScoreNetworkConfig
 
 SCORE_NETWORKS_BY_ARCH = {
     "mlp": MLPScoreNetwork,
     "egnn": EGNNScoreNetwork,
-    # "diffusion_mace" / "mace": the higher-order-equivariant capability
-    # slots, implemented TPU-first as scalar+vector message passing (see
-    # equivariant_score_network.py).
+    # "diffusion_mace": higher-order-equivariant slot, implemented TPU-first
+    # as scalar/vector/rank-2-tensor message passing
+    # (equivariant_score_network.py).
     "diffusion_mace": EquivariantScoreNetwork,
-    "mace": EquivariantScoreNetwork,
+    # "mace": faithful MACE trunk (spherical irreps up to l=3, correlation-3
+    # product basis) + prediction heads; supports torch-checkpoint import
+    # (mace_score_network.py / mace_import.py).
+    "mace": MaceScoreNetwork,
     "analytical": AnalyticalScoreNetwork,
     "equivariant_analytical": EquivariantAnalyticalScoreNetwork,
 }
@@ -34,7 +38,7 @@ SCORE_NETWORK_CONFIGS_BY_ARCH = {
     "mlp": MLPScoreNetworkConfig,
     "egnn": EGNNScoreNetworkConfig,
     "diffusion_mace": EquivariantScoreNetworkConfig,
-    "mace": EquivariantScoreNetworkConfig,
+    "mace": MaceScoreNetworkConfig,
     "analytical": AnalyticalScoreNetworkConfig,
     "equivariant_analytical": EquivariantAnalyticalScoreNetworkConfig,
 }

@@ -164,6 +164,16 @@ class Trainer:
         self.params = self.score_network.init(
             init_key, network_batch, conditional_init
         )
+        score_config = self.diffusion_config.score_network_config
+        if getattr(score_config, "use_pretrained", None):
+            # Graft a released mace-torch checkpoint into the trunk (the
+            # reference's pretrained-feature-extractor mode,
+            # mace_utils.py:133) before the optimizer sees the params.
+            from ..models.mace_import import load_pretrained_mace_params
+
+            self.params = load_pretrained_mace_params(
+                score_config.use_pretrained, self.params, score_config
+            )
         self.opt_state = self.optimizer.init(self.params)
         self.ema_params = self.params if self.ema_decay > 0 else None
 
