@@ -56,7 +56,9 @@ def _cross_entropy_term(
     nll = -jax.nn.log_softmax(predicted_logits, axis=-1)
     # p(a_0 = MASK) = 0 by construction (logit -inf): drop its divergent NLL.
     nll = nll.at[..., -1].set(0.0)
-    return one_hot_real_atom_types * nll
+    # Select-before-multiply: a hard-zero prediction off the true class would
+    # otherwise produce 0 * inf = NaN.
+    return jnp.where(one_hot_real_atom_types > 0, nll, 0.0)
 
 
 def _variational_bound_term(
