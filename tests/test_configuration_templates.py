@@ -73,6 +73,23 @@ def test_egnn_production_template_builds_components():
     create_energy_oracle_parameters(config["oracle"], config["elements"])
 
 
+def test_mace_template_builds_components():
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.models.mace_score_network import (
+        MaceScoreNetwork,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.training.instantiate_diffusion_model import (
+        load_diffusion_model,
+    )
+
+    config = load("config_diffusion_mace_si_1x1x1.yaml")
+    network, diffusion_config = load_diffusion_model(config)
+    assert isinstance(network, MaceScoreNetwork)
+    assert network.config.max_ell == 3
+    assert network.config.correlation == 3
+    assert network.config.hidden_irreps == "32x0e + 32x1o"
+    assert network.config.use_pretrained is None
+
+
 def test_sampling_and_al_templates_parse():
     from diffusion_for_multi_scale_molecular_dynamics_tpu.generators.instantiate_generator import (
         load_sampling_parameters,
