@@ -340,11 +340,15 @@ class MaceFeatureExtractor(nn.Module):
     radial_mlp: Tuple[int, ...] = (64, 64, 64)
 
     @nn.compact
-    def __call__(self, node_attrs, vectors, distances, pair_mask):
+    def __call__(self, node_attrs, vectors, distances, pair_mask, conditioning=None):
         """node_attrs [B,N,E] one-hot; vectors/distances: min-image pair data.
 
         vectors [B,N,N,3] (Cartesian), distances [B,N,N], pair_mask [B,N,N]
-        true for real pairs within the cutoff.
+        true for real pairs within the cutoff. ``conditioning`` ([B,N,S]
+        invariant scalars, optional) is mixed into the initial node features
+        — the reference DiffusionMACE's sigma conditioning
+        (diffusion_mace.py:218); plain MACE passes None (and stays
+        parameter-compatible with released checkpoints).
         """
         hidden = Irreps(self.hidden_irreps)
         channels = hidden[0][0]
@@ -358,6 +362,10 @@ class MaceFeatureExtractor(nn.Module):
         node_feats = IrrepsLinear(
             f"{self.num_elements}x0e", str(scalar_hidden), name="node_embedding"
         )(node_attrs.astype(jnp.float32))
+        if conditioning is not None:
+            node_feats = node_feats + nn.Dense(
+                scalar_hidden.dim, use_bias=False, name="conditioning_embedding"
+            )(conditioning.astype(node_feats.dtype))
 
         outputs = []
         current_irreps = scalar_hidden

@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..namespace import ATOM_MASK, AXL, NOISY_AXL_COMPOSITION, TIME
+from ..namespace import ATOM_MASK, AXL, NOISE, NOISY_AXL_COMPOSITION, TIME
 from ..ops.geometry import map_lattice_parameters_to_unit_cell_vectors
 from ..ops.irreps_layers import IrrepsLinear, ScalarTensorProduct
 from ..ops.neighbors import get_orthogonal_min_image_displacements
@@ -74,12 +74,22 @@ class MaceScoreNetworkConfig(ScoreNetworkConfig):
     # reference fetches small/medium/large at mace_utils.py:133).
     use_pretrained: Optional[str] = None
     freeze_trunk: bool = False
+    # Mix the noise level into the trunk's initial node features — the
+    # defining move of the reference's DiffusionMACE (sigma embedded into the
+    # node attributes via a tensor product, diffusion_mace.py:218). Off by
+    # default to keep the trunk checkpoint-compatible with plain MACE.
+    condition_on_sigma: bool = False
+    sigma_embedding_size: int = 16
     compute_dtype: str = "float32"
 
     def __post_init__(self):
         assert self.prediction_head in ("mlp", "equivariant")
         assert 1 <= self.correlation <= 3
         assert 0 <= self.max_ell <= 3
+        assert not (self.use_pretrained and self.condition_on_sigma), (
+            "sigma conditioning adds trunk parameters plain-MACE checkpoints "
+            "do not have; use the head's time conditioning instead"
+        )
 
     @property
     def resolved_num_elements(self) -> int:
@@ -216,7 +226,16 @@ class MaceScoreNetwork(nn.Module):
             radial_mlp=tuple(cfg.radial_mlp),
             name="mace",
         )
-        node_features = trunk(node_attrs, disp, distances, pair_mask)
+        if cfg.condition_on_sigma:
+            sigma = broadcast_per_graph_scalar_to_nodes(batch[NOISE], natoms)
+            conditioning = nn.silu(
+                nn.Dense(cfg.sigma_embedding_size, name="sigma_embedding")(sigma)
+            )
+        else:
+            conditioning = None
+        node_features = trunk(
+            node_attrs, disp, distances, pair_mask, conditioning
+        )
         if cfg.freeze_trunk:
             # The reference freezes the pretrained extractor
             # (mace_score_network.py:27 docstring / mace_utils.py:133).
