@@ -99,24 +99,43 @@ def test_permutation_equivariance(network_and_params, rng_key):
 
 
 def test_mlp_head_and_factory(rng_key):
+    # "mace" now resolves to the faithful MACE network (its own config
+    # surface, tests/test_mace_score_network.py); the scalar/vector/tensor
+    # net owns the "diffusion_mace" slot.
     global_cfg = dict(elements=["Si"], max_atom=4, spatial_dimension=3)
-    for architecture in ("diffusion_mace", "mace"):
-        net = create_score_network(
-            create_score_network_config(
-                dict(
-                    architecture=architecture,
-                    num_features=8,
-                    number_of_interactions=1,
-                    radial_cutoff=3.0,
-                    prediction_head="mlp",
-                ),
-                global_cfg,
-            )
+    net = create_score_network(
+        create_score_network_config(
+            dict(
+                architecture="diffusion_mace",
+                num_features=8,
+                number_of_interactions=1,
+                radial_cutoff=3.0,
+                prediction_head="mlp",
+            ),
+            global_cfg,
         )
-        batch = make_batch(rng_key)
-        params = net.init(rng_key, batch, False)
-        out = net.apply(params, batch, False)
-        assert np.isfinite(np.asarray(out.X)).all()
+    )
+    batch = make_batch(rng_key)
+    params = net.init(rng_key, batch, False)
+    out = net.apply(params, batch, False)
+    assert np.isfinite(np.asarray(out.X)).all()
+
+    mace_net = create_score_network(
+        create_score_network_config(
+            dict(
+                architecture="mace",
+                hidden_irreps="4x0e + 4x1o",
+                max_ell=2,
+                correlation=2,
+                r_max=3.0,
+                prediction_head="mlp",
+            ),
+            global_cfg,
+        )
+    )
+    params = mace_net.init(rng_key, batch, False)
+    out = mace_net.apply(params, batch, False)
+    assert np.isfinite(np.asarray(out.X)).all()
 
 
 def test_pretrained_loading_raises():
