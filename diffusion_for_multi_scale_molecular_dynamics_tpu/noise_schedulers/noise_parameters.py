@@ -29,7 +29,15 @@ class NoiseParameters:
     # Langevin corrector step scale (Song & Ermon).
     corrector_step_epsilon: float = 2e-5
 
-    # Adaptive-corrector step-size ratio r (score_sde celeba default).
+    # Adaptive-corrector step-size ratio r (score_sde celeba default, kept
+    # for reference parity). CAUTION: this image-model default is badly
+    # mis-scaled for dense crystals — on Si 2x2x2 with the production linear
+    # schedule (sigma in [1e-4, 0.2]) it produces +3.5 eV/atom structures
+    # (experiments/si_2x2x2_round1_results.md). The step size grows as r^2
+    # and the equilibrium score norm scales like 1/sigma_min, so shrink r
+    # roughly with sigma_min: r ~ 0.015-0.02 is stable on the Si systems
+    # here. Sweep with experiments/eval_checkpoint.py before trusting a
+    # new system.
     corrector_r: float = 0.17
 
     def __post_init__(self):
