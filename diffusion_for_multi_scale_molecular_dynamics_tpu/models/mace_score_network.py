@@ -61,6 +61,14 @@ class MaceScoreNetworkConfig(ScoreNetworkConfig):
     # models default to num_atom_types + 1 (MASK gets a channel); imported
     # checkpoints use the checkpoint's own table (89 for the released ones).
     num_elements: Optional[int] = None
+    # Atom-type index -> element-channel mapping. The released checkpoints
+    # index node attributes by atomic number over an 89-entry z-table
+    # (the reference builds it with get_atomic_number_table_from_zs(range(89)),
+    # mace_score_network.py:79-82), so Si must hit channel 14, not 0. One
+    # entry per atom type, e.g. (14,) for [Si]; MASK atoms map to channel 0
+    # (the reference has no defined MASK behavior for pretrained MACE — its
+    # own TODO at mace_score_network.py:138). None = identity mapping.
+    element_z_numbers: Optional[Tuple[int, ...]] = None
     # Coordinate prediction head: "mlp" or "equivariant"
     # (score_prediction_head.py:61/:112).
     prediction_head: str = "equivariant"
@@ -209,8 +217,16 @@ class MaceScoreNetwork(nn.Module):
         if atom_mask is not None:
             pair_mask = pair_mask & atom_mask[:, :, None] & atom_mask[:, None, :]
 
+        if cfg.element_z_numbers is not None:
+            assert len(cfg.element_z_numbers) == cfg.num_atom_types
+            channel_of_type = jnp.asarray(
+                tuple(cfg.element_z_numbers) + (0,), dtype=jnp.int32
+            )
+            element_channels = channel_of_type[composition.A]
+        else:
+            element_channels = composition.A
         node_attrs = jax.nn.one_hot(
-            composition.A, cfg.resolved_num_elements, dtype=jnp.float32
+            element_channels, cfg.resolved_num_elements, dtype=jnp.float32
         )
 
         trunk = MaceFeatureExtractor(

@@ -145,6 +145,47 @@ def test_unrecognized_tensor_raises(config, batch):
         import_mace_state_dict(state_dict, config, strict=True)
 
 
+def test_element_z_number_mapping(batch):
+    """Si must hit the z=14 channel of an 89-wide pretrained table."""
+    from dataclasses import replace
+
+    base = MaceScoreNetworkConfig(
+        num_atom_types=1,
+        hidden_irreps="4x0e",
+        max_ell=2,
+        correlation=2,
+        r_max=3.0,
+        num_elements=89,
+        prediction_head="mlp",
+    )
+    comp = batch[NOISY_AXL_COMPOSITION]
+    si_batch = dict(batch)
+    si_batch[NOISY_AXL_COMPOSITION] = comp._replace(
+        A=jnp.zeros_like(comp.A)
+    )
+
+    mapped = MaceScoreNetwork(replace(base, element_z_numbers=(14,)))
+    params = mapped.init(jax.random.PRNGKey(0), si_batch)
+    out_mapped = mapped.apply(params, si_batch)
+
+    # Same params through the identity mapping: type 0 hits channel 0 and
+    # sees different embedding rows -> different output.
+    identity = MaceScoreNetwork(base)
+    out_identity = identity.apply(params, si_batch)
+    assert not np.allclose(np.asarray(out_mapped.X), np.asarray(out_identity.X))
+
+    # Channel-14 equivalence: feeding A=14 through the identity mapping
+    # reproduces the z-mapped output exactly.
+    ch14 = dict(si_batch)
+    ch14[NOISY_AXL_COMPOSITION] = si_batch[NOISY_AXL_COMPOSITION]._replace(
+        A=jnp.full_like(comp.A, 14)
+    )
+    out_ch14 = identity.apply(params, ch14)
+    np.testing.assert_allclose(
+        np.asarray(out_mapped.X), np.asarray(out_ch14.X), atol=0
+    )
+
+
 def test_frozen_trunk_blocks_gradients(batch):
     """freeze_trunk reproduces the reference's frozen feature extractor."""
     config = MaceScoreNetworkConfig(
