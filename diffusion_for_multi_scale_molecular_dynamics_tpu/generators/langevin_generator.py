@@ -318,15 +318,18 @@ class LangevinGenerator(AXLGenerator):
         key_a, key_x, key_l = jax.random.split(key, 3)
 
         z_x = jax.random.normal(key_x, composition.X.shape, composition.X.dtype)
+        temperature = self.sampling_parameters.corrector_temperature
         eps_x = self._coordinates_corrector_step_size(idx, sigma_i, predictions.X, z_x)
         x_corrected = self._relative_coordinates_update(
-            composition.X, predictions.X, sigma_i, eps_x, jnp.sqrt(2.0 * eps_x), z_x
+            composition.X, predictions.X, sigma_i, eps_x,
+            temperature * jnp.sqrt(2.0 * eps_x), z_x
         )
 
         z_l = jax.random.normal(key_l, composition.L.shape, composition.L.dtype)
         eps_l = self._lattice_corrector_step_size(idx, sigma_n_i, predictions.L, z_l)
         l_corrected = self._lattice_parameters_update(
-            composition.L, predictions.L, sigma_n_i, eps_l, jnp.sqrt(2.0 * eps_l), z_l
+            composition.L, predictions.L, sigma_n_i, eps_l,
+            temperature * jnp.sqrt(2.0 * eps_l), z_l
         )
 
         if self.sampling_parameters.atom_type_transition_in_corrector:

@@ -19,3 +19,10 @@ class PredictorCorrectorSamplingParameters(SamplingParameters):
     one_atom_type_transition_per_step: bool = True
     atom_type_greedy_sampling: bool = True
     atom_type_transition_in_corrector: bool = False
+    # Scale on the corrector noise: the corrector samples p(x)^(1/T) with
+    # T = corrector_temperature^2 relative to the learned score. 1.0 is the
+    # reference's (implicit) value; repeated correctors tend to quench the
+    # sampled ensemble below the thermal width (round-1/2 Si studies), and a
+    # slightly hotter corrector (e.g. 1.01-1.1) reheats it. Beyond-reference
+    # knob; leave at 1.0 for strict parity.
+    corrector_temperature: float = 1.0

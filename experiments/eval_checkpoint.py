@@ -100,6 +100,7 @@ def evaluate(axl_network, oracle, reference_energies, reference_distances, spec,
         sampling_parameters = PredictorCorrectorSamplingParameters(
             algorithm=algorithm,
             number_of_corrector_steps=spec.get("correctors", 2),
+            corrector_temperature=spec.get("temperature", 1.0),
             **common,
         )
         cls = (
@@ -150,6 +151,14 @@ SWEEPS = {
             "corrector_r": 0.017,
             "samples": 64,
         },
+        # Corrector reheating: repeated correctors quench the ensemble below
+        # the thermal width; T > 1 widens it back (beyond-reference knob).
+        {"name": "pc_3corr_T1.05", "correctors": 3, "temperature": 1.05,
+         "samples": 64},
+        {"name": "pc_4corr_T1.1", "correctors": 4, "temperature": 1.1,
+         "samples": 64},
+        {"name": "pc_4corr_T1.05", "correctors": 4, "temperature": 1.05,
+         "samples": 64},
     ],
     "final": [
         {"name": "best_rerun_128", "correctors": 3, "samples": 128},

@@ -403,3 +403,39 @@ def test_corrector_step_formula(rng_key):
         np.testing.assert_allclose(
             np.asarray(corrected.X), np.asarray(expected), rtol=1e-5, atol=1e-6
         )
+
+
+def test_corrector_temperature_scales_noise(rng_key):
+    """corrector_temperature multiplies only the corrector noise: T=0 makes
+    the corrector deterministic drift, T=1 is the reference update."""
+    cold = make_generator(corrector_temperature=0.0)
+    x = jax.random.uniform(rng_key, (6, NATOMS, D))
+    composition = AXL(
+        A=jnp.zeros((6, NATOMS), jnp.int32), X=x, L=jnp.zeros((6, 6))
+    )
+    idx = jnp.asarray(1)
+    corrected, predictions = cold.corrector_step(rng_key, composition, idx)
+    schedule = cold.schedule
+    eps = schedule.langevin.epsilon[1]
+    sigma = schedule.noise.sigma[0]
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.ops.geometry import (
+        map_relative_coordinates_to_unit_cell,
+    )
+
+    expected = map_relative_coordinates_to_unit_cell(
+        x + eps * predictions.X / sigma
+    )
+    np.testing.assert_allclose(
+        np.asarray(corrected.X), np.asarray(expected), rtol=1e-5, atol=1e-6
+    )
+
+    # T=1 differs from T=0 by exactly sqrt(2 eps) z; hotter scales that z.
+    unit = make_generator(corrector_temperature=1.0)
+    hot = make_generator(corrector_temperature=2.0)
+    corrected_unit, _ = unit.corrector_step(rng_key, composition, idx)
+    corrected_hot, _ = hot.corrector_step(rng_key, composition, idx)
+    noise_unit = np.asarray(corrected_unit.X) - np.asarray(corrected.X)
+    noise_unit -= np.round(noise_unit)
+    noise_hot = np.asarray(corrected_hot.X) - np.asarray(corrected.X)
+    noise_hot -= np.round(noise_hot)
+    np.testing.assert_allclose(noise_hot, 2.0 * noise_unit, rtol=1e-4, atol=1e-6)
