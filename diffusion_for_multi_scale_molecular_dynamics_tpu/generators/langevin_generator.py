@@ -261,6 +261,17 @@ class LangevinGenerator(AXLGenerator):
             sigma, self.number_of_atoms, self.spatial_dimension
         )
 
+    def _windowed_temperature(self, sigma_i):
+        """noise_temperature inside the sigma <= temperature_sigma_max window."""
+        params = self.sampling_parameters
+        if params.noise_temperature == 1.0:
+            return 1.0
+        return jnp.where(
+            sigma_i <= params.temperature_sigma_max,
+            params.noise_temperature,
+            1.0,
+        )
+
     def predictor_step(self, key, composition: AXL, idx) -> Tuple[AXL, AXL]:
         """One predictor step at zero-based table index ``idx`` (time i+1 -> i)."""
         noise = self.schedule.noise
@@ -272,6 +283,7 @@ class LangevinGenerator(AXLGenerator):
         predictions = self._get_model_predictions(composition, t_i, sigma_i)
 
         key_a, key_x, key_l = jax.random.split(key, 3)
+        tau = self._windowed_temperature(sigma_i)
 
         # The one-transition restriction must not apply at the final step:
         # every remaining MASK has to resolve (reference: langevin_generator.py:597-604).
@@ -290,12 +302,12 @@ class LangevinGenerator(AXLGenerator):
 
         z_x = jax.random.normal(key_x, composition.X.shape, composition.X.dtype)
         x_im1 = self._relative_coordinates_update(
-            composition.X, predictions.X, sigma_i, g2_i, g_i, z_x
+            composition.X, predictions.X, sigma_i, g2_i, tau * g_i, z_x
         )
 
         z_l = jax.random.normal(key_l, composition.L.shape, composition.L.dtype)
         l_im1 = self._lattice_parameters_update(
-            composition.L, predictions.L, self._sigma_n(sigma_i), g2_i, g_i, z_l
+            composition.L, predictions.L, self._sigma_n(sigma_i), g2_i, tau * g_i, z_l
         )
 
         return AXL(A=a_im1, X=x_im1, L=l_im1), predictions
@@ -316,9 +328,13 @@ class LangevinGenerator(AXLGenerator):
         predictions = self._get_model_predictions(composition, t_i, sigma_i)
 
         key_a, key_x, key_l = jax.random.split(key, 3)
+        tau = self._windowed_temperature(sigma_i)
 
         z_x = jax.random.normal(key_x, composition.X.shape, composition.X.dtype)
-        temperature = self.sampling_parameters.corrector_temperature
+        temperature = (
+            self.sampling_parameters.corrector_temperature
+            * self._windowed_temperature(sigma_i)
+        )
         eps_x = self._coordinates_corrector_step_size(idx, sigma_i, predictions.X, z_x)
         x_corrected = self._relative_coordinates_update(
             composition.X, predictions.X, sigma_i, eps_x,

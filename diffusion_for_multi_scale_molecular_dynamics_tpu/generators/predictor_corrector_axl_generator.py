@@ -26,3 +26,11 @@ class PredictorCorrectorSamplingParameters(SamplingParameters):
     # slightly hotter corrector (e.g. 1.01-1.1) reheats it. Beyond-reference
     # knob; leave at 1.0 for strict parity.
     corrector_temperature: float = 1.0
+    # Sigma-windowed noise temperature (beyond-reference): multiply the
+    # predictor AND corrector noise by noise_temperature only at steps with
+    # sigma_i <= temperature_sigma_max. The sampled ensemble freezes out at
+    # sigma comparable to the thermal displacement width, so reheating only
+    # that window warms the final ensemble (p -> p^(1/tau^2)) without
+    # seeding hot outliers at large sigma. Defaults are inert.
+    noise_temperature: float = 1.0
+    temperature_sigma_max: float = float("inf")

@@ -101,6 +101,8 @@ def evaluate(axl_network, oracle, reference_energies, reference_distances, spec,
             algorithm=algorithm,
             number_of_corrector_steps=spec.get("correctors", 2),
             corrector_temperature=spec.get("temperature", 1.0),
+            noise_temperature=spec.get("noise_temperature", 1.0),
+            temperature_sigma_max=spec.get("sigma_window", float("inf")),
             **common,
         )
         cls = (
@@ -160,6 +162,22 @@ SWEEPS = {
         {"name": "pc_4corr_T1.05", "correctors": 4, "temperature": 1.05,
          "samples": 64},
     ],
+    # Windowed reheating: warm only the freeze-out window (sigma below the
+    # thermal displacement scale) so early steps stay outlier-free.
+    "reheat": [
+        {"name": "w0.02_T1.05_3c", "correctors": 3, "noise_temperature": 1.05,
+         "sigma_window": 0.02, "samples": 64},
+        {"name": "w0.02_T1.10_3c", "correctors": 3, "noise_temperature": 1.10,
+         "sigma_window": 0.02, "samples": 64},
+        {"name": "w0.02_T1.15_3c", "correctors": 3, "noise_temperature": 1.15,
+         "sigma_window": 0.02, "samples": 64},
+        {"name": "w0.05_T1.10_3c", "correctors": 3, "noise_temperature": 1.10,
+         "sigma_window": 0.05, "samples": 64},
+        {"name": "w0.01_T1.10_3c", "correctors": 3, "noise_temperature": 1.10,
+         "sigma_window": 0.01, "samples": 64},
+        {"name": "w0.02_T1.10_2c", "correctors": 2, "noise_temperature": 1.10,
+         "sigma_window": 0.02, "samples": 64},
+    ],
     "final": [
         {"name": "best_rerun_128", "correctors": 3, "samples": 128},
     ],
@@ -179,6 +197,9 @@ def main(argv=None):
 
     import jax
 
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.oracle.energy_oracle_factory import (
+        resolve_sw_coefficients_path,
+    )
     from diffusion_for_multi_scale_molecular_dynamics_tpu.oracle.stillinger_weber import (
         StillingerWeberOracle,
         StillingerWeberParameters,
@@ -189,7 +210,10 @@ def main(argv=None):
 
     axl_network = load_axl_network_from_checkpoint(args.checkpoint, prefer=args.prefer)
     oracle = StillingerWeberOracle(
-        StillingerWeberParameters(name="stillinger_weber", sw_coeff_filename="Si.sw")
+        StillingerWeberParameters(
+            name="stillinger_weber", sw_coeff_filename=resolve_sw_coefficients_path("Si.sw"),
+            elements=["Si"]
+        )
     )
     reference_energies, reference_coordinates = load_reference_distributions(args.data)
     reference_distances = pair_distances(reference_coordinates, CELL)
