@@ -112,10 +112,25 @@ def evaluate(axl_network, oracle, reference_energies, reference_distances, spec,
         )
         generator = cls(noise_parameters, sampling_parameters, axl_network)
 
+    import jax as _jax
+
+    chunk = min(spec.get("batch", 64), spec["samples"])
+    pieces = []
     t0 = time.time()
-    samples = generator.sample(key, spec["samples"])
-    jax.block_until_ready(samples.X)
+    remaining = spec["samples"]
+    while remaining > 0:
+        key, sub = _jax.random.split(key)
+        pieces.append(generator.sample(sub, chunk))
+        _jax.block_until_ready(pieces[-1].X)
+        remaining -= chunk
     elapsed = time.time() - t0
+    import jax.numpy as _jnp
+
+    samples = pieces[0]._replace(
+        A=_jnp.concatenate([p.A for p in pieces]),
+        X=_jnp.concatenate([p.X for p in pieces]),
+        L=_jnp.concatenate([p.L for p in pieces]),
+    )
 
     energies, _ = oracle.compute_oracle_energies_and_forces(samples)
     energies = np.asarray(energies)
@@ -178,8 +193,21 @@ SWEEPS = {
         {"name": "w0.02_T1.10_2c", "correctors": 2, "noise_temperature": 1.10,
          "sigma_window": 0.02, "samples": 64},
     ],
+    "reheat2": [
+        {"name": "w0.02_T1.20_3c", "correctors": 3, "noise_temperature": 1.20,
+         "sigma_window": 0.02, "samples": 64},
+        {"name": "w0.02_T1.25_3c", "correctors": 3, "noise_temperature": 1.25,
+         "sigma_window": 0.02, "samples": 64},
+        {"name": "w0.02_T1.30_3c", "correctors": 3, "noise_temperature": 1.30,
+         "sigma_window": 0.02, "samples": 64},
+        {"name": "w0.03_T1.20_3c", "correctors": 3, "noise_temperature": 1.20,
+         "sigma_window": 0.03, "samples": 64},
+    ],
     "final": [
-        {"name": "best_rerun_128", "correctors": 3, "samples": 128},
+        {"name": "w0.02_T1.21_3c_256", "correctors": 3, "noise_temperature": 1.21,
+         "sigma_window": 0.02, "samples": 256},
+        {"name": "w0.02_T1.22_3c_256", "correctors": 3, "noise_temperature": 1.22,
+         "sigma_window": 0.02, "samples": 256},
     ],
 }
 

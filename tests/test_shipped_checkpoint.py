@@ -1,4 +1,4 @@
-"""The committed Si 2x2x2 checkpoint must stay loadable and sane."""
+"""The committed Si 2x2x2 checkpoints must stay loadable and sane."""
 
 import os
 
@@ -6,15 +6,18 @@ import jax
 import numpy as np
 import pytest
 
-CHECKPOINT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "experiments",
-    "si_2x2x2_round1_checkpoint",
+_EXPERIMENTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "experiments"
 )
 
 
 @pytest.mark.slow
-def test_shipped_checkpoint_samples_physical_structures():
+@pytest.mark.parametrize(
+    "checkpoint_name",
+    ["si_2x2x2_round1_checkpoint", "si_2x2x2_round2_checkpoint"],
+)
+def test_shipped_checkpoint_samples_physical_structures(checkpoint_name):
+    CHECKPOINT_DIR = os.path.join(_EXPERIMENTS, checkpoint_name)
     from diffusion_for_multi_scale_molecular_dynamics_tpu.generators import (
         LangevinGenerator,
         PredictorCorrectorSamplingParameters,
