@@ -81,9 +81,32 @@ def main():
         lambda: generator.sample(jax.random.PRNGKey(1), BATCH).X, repeats=2
     )
 
-    # B: single forward.
-    forward = jax.jit(lambda b: network.apply(params, b, False))
-    single = timed(lambda: forward(example_batch).X, repeats=10)
+    # B: network-only cost. A single host-driven call is dominated by
+    # dispatch/tunnel latency (~30 ms on the axon remote TPU), which the
+    # scan never pays — so measure a chained program of 30 forwards (the
+    # output feeds a dummy dependency to serialize them) and divide.
+    CHAIN = 30
+
+    def chained(batch):
+        def body(_, carry):
+            out = network.apply(params, carry, False)
+            comp = batch["noisy_axl"]
+            perturbed = comp._replace(X=(comp.X + 1e-6 * out.X) % 1.0)
+            new_batch = dict(batch)
+            new_batch["noisy_axl"] = perturbed
+            return new_batch
+
+        import jax.lax as lax
+
+        final = lax.fori_loop(0, CHAIN, body, batch)
+        return final["noisy_axl"].X
+
+    chained_jit = jax.jit(chained)
+    single = timed(lambda: chained_jit(example_batch), repeats=5) / CHAIN
+    dispatched_forward = jax.jit(lambda b: network.apply(params, b, False))
+    single_dispatched = timed(
+        lambda: dispatched_forward(example_batch).X, repeats=10
+    )
     forwards = args.steps * 3
 
     # C: stub network trajectory.
@@ -112,6 +135,7 @@ def main():
         "steps": args.steps,
         "trajectory_s": round(seconds_full, 3),
         "single_forward_s": round(single, 6),
+        "host_dispatched_forward_s": round(single_dispatched, 6),
         "network_only_s": round(single * forwards, 3),
         "stub_trajectory_s": round(seconds_stub, 3),
         "unexplained_s": round(
