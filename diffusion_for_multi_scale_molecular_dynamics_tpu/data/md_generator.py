@@ -158,39 +158,51 @@ def run_nvt_langevin(
     )
 
 
-def create_silicon_diffusion_dataset(
+def create_diffusion_dataset(
     output_directory: str,
-    supercell_factor: int = 1,
-    lattice_constant: float = 5.43,
+    *,
+    coordinates,
+    cell,
+    atom_types,
+    elements: List[str],
+    sw_coefficients_filename: str,
     number_of_train_runs: int = 2,
     number_of_valid_runs: int = 1,
     parameters: Optional[MDParameters] = None,
-    sw_coefficients_path: Optional[str] = None,
     seed: int = 0,
 ) -> Dict[str, List[str]]:
-    """Generate Si MD training data as parquet files (LammpsDataModule schema).
+    """Generate MD training data as parquet files (LammpsDataModule schema).
 
     The on-device replacement of the reference's LAMMPS create_data.sh runs:
-    perfect diamond Si supercell, NVT at 300 K, sampled along the trajectory.
+    NVT Langevin at parameters.temperature, sampled along the trajectory.
 
-    Returns:
-        {"train": [paths], "valid": [paths]}.
+    Args:
+        coordinates/cell: equilibrium structure (fractional coords, [3,3] cell).
+        atom_types: integer ids following the sorted-element convention of
+            ElementTypes(elements).
+        elements: the element list; SW tables are ordered by sorted(elements)
+            so ids and potential types agree.
+        sw_coefficients_filename: .sw file (resolved against the shipped
+            coefficient directory), e.g. "Si.sw" or "SiGe.sw".
     """
     import pandas as pd
 
     from ..oracle.energy_oracle_factory import resolve_sw_coefficients_path
 
     parameters = parameters or MDParameters()
-    sw_path = resolve_sw_coefficients_path(sw_coefficients_path or "Si.sw")
+    sw_path = resolve_sw_coefficients_path(sw_coefficients_filename)
+    ordered_elements = sorted(elements)
     tables = build_sw_tables(
-        parse_stillinger_weber_coefficients(sw_path), ["Si"]
+        parse_stillinger_weber_coefficients(sw_path), ordered_elements
     )
     os.makedirs(output_directory, exist_ok=True)
 
-    coordinates, cell = get_silicon_supercell(supercell_factor, lattice_constant)
     natoms = len(coordinates)
-    atom_types = jnp.zeros(natoms, jnp.int32)
-    masses = jnp.full(natoms, ATOMIC_MASSES_AMU["Si"])
+    atom_types = np.asarray(atom_types, np.int64)
+    masses = jnp.asarray(
+        [ATOMIC_MASSES_AMU[ordered_elements[t]] for t in atom_types],
+        jnp.float32,
+    )
     n_lattice = get_number_of_lattice_parameters(3)
 
     written: Dict[str, List[str]] = {"train": [], "valid": []}
@@ -208,7 +220,7 @@ def create_silicon_diffusion_dataset(
             key,
             jnp.asarray(coordinates, jnp.float32),
             jnp.asarray(cell, jnp.float32),
-            atom_types,
+            jnp.asarray(atom_types, jnp.int32),
             masses,
             tables,
             parameters,
@@ -225,7 +237,7 @@ def create_silicon_diffusion_dataset(
                 "natom": [natoms] * n_samples,
                 "box": list(boxes),
                 "lattice_parameters": list(lattice_parameters),
-                "element": [np.zeros(natoms, np.int64)] * n_samples,
+                "element": [atom_types] * n_samples,
                 "cartesian_positions": [
                     (row @ cell).ravel() for row in x
                 ],
@@ -246,6 +258,68 @@ def create_silicon_diffusion_dataset(
     return written
 
 
+def create_silicon_diffusion_dataset(
+    output_directory: str,
+    supercell_factor: int = 1,
+    lattice_constant: float = 5.43,
+    number_of_train_runs: int = 2,
+    number_of_valid_runs: int = 1,
+    parameters: Optional[MDParameters] = None,
+    sw_coefficients_path: Optional[str] = None,
+    seed: int = 0,
+) -> Dict[str, List[str]]:
+    """Perfect diamond Si supercell, NVT at 300 K (reference create_data.sh)."""
+    coordinates, cell = get_silicon_supercell(supercell_factor, lattice_constant)
+    return create_diffusion_dataset(
+        output_directory,
+        coordinates=coordinates,
+        cell=cell,
+        atom_types=np.zeros(len(coordinates), np.int64),
+        elements=["Si"],
+        sw_coefficients_filename=sw_coefficients_path or "Si.sw",
+        number_of_train_runs=number_of_train_runs,
+        number_of_valid_runs=number_of_valid_runs,
+        parameters=parameters,
+        seed=seed,
+    )
+
+
+def create_sige_diffusion_dataset(
+    output_directory: str,
+    supercell_factor: int = 1,
+    lattice_constant: float = 5.543,
+    number_of_train_runs: int = 2,
+    number_of_valid_runs: int = 1,
+    parameters: Optional[MDParameters] = None,
+    seed: int = 0,
+) -> Dict[str, List[str]]:
+    """Zincblende SiGe (Si/Ge on the two diamond sublattices), SW SiGe.sw.
+
+    Two real atom types — this is the dataset that exercises the D3PM
+    atom-type diffusion end to end (the reference ships SiGe datasets next
+    to its Si ones, data/SiGe_diffusion_*).
+    """
+    from ..utils.reference_configurations import (
+        create_equilibrium_sige_structure,
+    )
+
+    coordinates, atom_types, cell = create_equilibrium_sige_structure(
+        supercell_factor, lattice_constant
+    )
+    return create_diffusion_dataset(
+        output_directory,
+        coordinates=coordinates,
+        cell=cell,
+        atom_types=atom_types,
+        elements=["Si", "Ge"],
+        sw_coefficients_filename="SiGe.sw",
+        number_of_train_runs=number_of_train_runs,
+        number_of_valid_runs=number_of_valid_runs,
+        parameters=parameters,
+        seed=seed,
+    )
+
+
 def main(argv=None) -> None:
     """CLI: generate Si MD training data fully on device.
 
@@ -254,8 +328,9 @@ def main(argv=None) -> None:
     """
     import argparse
 
-    parser = argparse.ArgumentParser(description="On-device Si MD data generation")
+    parser = argparse.ArgumentParser(description="On-device MD data generation")
     parser.add_argument("--output", required=True)
+    parser.add_argument("--system", choices=["si", "sige"], default="si")
     parser.add_argument("--supercell_factor", type=int, default=1)
     parser.add_argument("--lattice_constant", type=float, default=5.43)
     parser.add_argument("--temperature", type=float, default=300.0)
@@ -268,7 +343,14 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
-    create_silicon_diffusion_dataset(
+    factory = (
+        create_sige_diffusion_dataset
+        if args.system == "sige"
+        else create_silicon_diffusion_dataset
+    )
+    if args.system == "sige" and args.lattice_constant == 5.43:
+        args.lattice_constant = 5.543  # SiGe equilibrium
+    factory(
         args.output,
         supercell_factor=args.supercell_factor,
         lattice_constant=args.lattice_constant,
