@@ -114,3 +114,35 @@ def test_dataset_generation_feeds_data_module(tmp_path):
         number_of_valid_runs=1,
         parameters=parameters,
     )
+
+
+@pytest.mark.slow
+def test_sige_dataset_two_species(tmp_path):
+    """The SiGe generator writes two-species frames at the right energy scale
+    with element ids preserved (Ge=0, Si=1 by sorted-element convention)."""
+    import pandas as pd
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.data.md_generator import (
+        create_sige_diffusion_dataset,
+    )
+
+    written = create_sige_diffusion_dataset(
+        str(tmp_path),
+        number_of_train_runs=1,
+        number_of_valid_runs=1,
+        parameters=MDParameters(
+            temperature=300.0,
+            equilibration_steps=200,
+            production_steps=400,
+            sample_every=10,
+        ),
+    )
+    frame = pd.read_parquet(written["train"][0])
+    assert len(frame) == 40
+    elements = np.stack(frame["element"].to_numpy())
+    # 4 Si (id 1) and 4 Ge (id 0) per frame, fixed along the trajectory.
+    assert elements.shape[1] == 8
+    assert (elements.sum(axis=1) == 4).all()
+    # SiGe SW parameterization: ~ -6.5 eV/atom at 300 K.
+    e_per_atom = frame["potential_energy"].to_numpy() / 8
+    assert -6.7 < e_per_atom.mean() < -6.3, e_per_atom.mean()
