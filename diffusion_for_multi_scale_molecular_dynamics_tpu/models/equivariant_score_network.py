@@ -73,10 +73,12 @@ class EquivariantScoreNetworkConfig(ScoreNetworkConfig):
         assert self.max_ell in (1, 2), "max_ell must be 1 or 2"
         if self.use_pretrained:
             raise NotImplementedError(
-                "pretrained torch MACE checkpoints cannot be loaded into the "
-                "TPU-native equivariant network; train from fresh weights. "
-                "(Reference-trained EGNN checkpoints — the production "
-                "architecture — do import: models/egnn_import.py.)"
+                "the Cartesian equivariant network trains from fresh weights "
+                "only. For pretrained torch MACE checkpoints use "
+                "architecture 'mace' (models/mace_score_network.py: "
+                "use_pretrained=<local state-dict path>, freeze_trunk); "
+                "reference-trained EGNN checkpoints import via "
+                "models/egnn_import.py."
             )
 
 
