@@ -29,6 +29,7 @@ def main():
     parser.add_argument("--samples", type=int, default=64)
     parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--seed", type=int, default=3)
+    parser.add_argument("--prefer", default="last")
     args = parser.parse_args()
 
     import jax
@@ -53,7 +54,7 @@ def main():
         load_axl_network_from_checkpoint,
     )
 
-    axl_network = load_axl_network_from_checkpoint(args.checkpoint, prefer="last")
+    axl_network = load_axl_network_from_checkpoint(args.checkpoint, prefer=args.prefer)
     generator = LangevinGenerator(
         NoiseParameters(
             total_time_steps=args.steps,
