@@ -77,20 +77,34 @@ def build_generator_and_network(record=False):
     return generator, axl_network
 
 
-def time_scan_sampler(generator):
+def time_scan_sampler(generator, repeats=3):
+    """Time ``repeats`` full trajectories after a warm-up call.
+
+    Returns (best_seconds, warmup_seconds, all_seconds). The warm-up call
+    compiles the chunk program (or deserializes it from the persistent
+    compilation cache); the timed calls must all hit the jit cache — asserted
+    via the jitted function's cache size — so the minimum over repeats is a
+    steady-state number even if the host is contended.
+    """
     import jax
 
-    key = jax.random.PRNGKey(0)
-    # Compile.
-    samples = generator.sample(key, BATCH)
-    jax.block_until_ready(samples.X)
-    # Measure.
     t0 = time.perf_counter()
-    samples = generator.sample(jax.random.PRNGKey(1), BATCH)
+    samples = generator.sample(jax.random.PRNGKey(0), BATCH)
     jax.block_until_ready(samples.X)
-    elapsed = time.perf_counter() - t0
+    warmup = time.perf_counter() - t0
+
+    cache_size_before = generator._compiled_scan_chunk._cache_size()
+    times = []
+    for r in range(1, repeats + 1):
+        t0 = time.perf_counter()
+        samples = generator.sample(jax.random.PRNGKey(r), BATCH)
+        jax.block_until_ready(samples.X)
+        times.append(time.perf_counter() - t0)
+    assert generator._compiled_scan_chunk._cache_size() == cache_size_before, (
+        "scan chunk recompiled during timing - measurements are contaminated"
+    )
     assert bool((samples.A != 1).all()), "benchmark sample left MASK atoms"
-    return elapsed
+    return min(times), warmup, times
 
 
 # Peak dense-matmul throughput per chip (bf16), for the MFU estimate.
@@ -111,10 +125,28 @@ def analytic_flops_per_trajectory():
     fused kernel — Pallas custom calls are opaque to the HLO cost model, the
     dense program is not. Per-step sampler updates (D3PM posterior, X/L
     updates) are O(B*N*C) and negligible next to the network.
+
+    The analytic count is deterministic for a fixed workload, so it is
+    memoized in experiments/flops_cache.json (keyed by the workload tuple)
+    to keep one large compile out of the benchmark's cold path.
     """
     import jax
 
     from __graft_entry__ import _flagship_pieces
+
+    cache_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "experiments", "flops_cache.json"
+    )
+    cache_key = (
+        f"egnn4x256_batch{BATCH}_natoms{NATOMS}_steps{N_STEPS}x{1 + N_CORRECTORS}"
+    )
+    try:
+        with open(cache_path) as fh:
+            cached = json.load(fh)
+        if cache_key in cached:
+            return float(cached[cache_key])
+    except (OSError, ValueError):
+        cached = {}
 
     network, params, batch = _flagship_pieces(
         batch_size=BATCH, natoms=NATOMS, n_layers=4, hidden=256
@@ -139,7 +171,14 @@ def analytic_flops_per_trajectory():
     if not cost or "flops" not in cost or cost["flops"] <= 0:
         return None
     forwards = N_STEPS * (1 + N_CORRECTORS)
-    return float(cost["flops"]) * forwards
+    flops = float(cost["flops"]) * forwards
+    try:
+        cached[cache_key] = flops
+        with open(cache_path, "w") as fh:
+            json.dump(cached, fh, indent=1)
+    except OSError:
+        pass
+    return flops
 
 
 def read_reference_cpu_baseline():
@@ -189,9 +228,15 @@ def time_reference_style_loop(generator):
 def main():
     import jax
 
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     generator, _ = build_generator_and_network()
 
-    scan_seconds = time_scan_sampler(generator)
+    scan_seconds, warmup_seconds, all_times = time_scan_sampler(generator)
     loop_seconds = time_reference_style_loop(generator)
 
     throughput = BATCH / scan_seconds
@@ -205,6 +250,8 @@ def main():
         "value": round(throughput, 4),
         "unit": "samples/s",
         "vs_baseline": round(throughput / loop_throughput, 2),
+        "warmup_s": round(warmup_seconds, 2),
+        "trajectory_times_s": [round(t, 3) for t in all_times],
     }
 
     reference = read_reference_cpu_baseline()

@@ -18,17 +18,16 @@ from .langevin_generator import LangevinGenerator
 class AdaptiveCorrectorGenerator(LangevinGenerator):
     """Langevin corrector with adaptive step sizes for X and L."""
 
-    def _relative_coordinates_update_noop(self, x, *args):
-        return x
-
-    # Predictor leaves X and L untouched: override the update primitives used
-    # inside predictor_step by wrapping it.
-    def predictor_step(self, key, composition, idx):
-        updated, predictions = super().predictor_step(key, composition, idx)
-        return (
-            updated._replace(X=composition.X, L=composition.L),
-            predictions,
+    # Predictor leaves X and L untouched (atom types still follow the D3PM
+    # predictor): zero the predictor-side update weights in the shared
+    # substep program, keeping the corrector's adaptive step sizes.
+    def _substep_xl_weights(
+        self, is_predictor, idx, sigma_i, sigma_n_i, predictions, z_x, z_l, tau
+    ):
+        weights = super()._substep_xl_weights(
+            is_predictor, idx, sigma_i, sigma_n_i, predictions, z_x, z_l, tau
         )
+        return tuple(jnp.where(is_predictor, 0.0, w) for w in weights)
 
     def _generic_corrector_step_size(self, sigma_i, sigma_normalized_scores, z, norm_axes):
         score_norm = jnp.mean(

@@ -118,18 +118,13 @@ class ConstrainedLangevinGenerator(LangevinGenerator):
         a_known = jnp.where(is_final, a0, at)
         return x_known, a_known
 
-    def predictor_step(self, key, composition: AXL, idx) -> Tuple[AXL, AXL]:
-        """Predictor step followed by the RePaint overwrite at index idx."""
-        key_super, key_repaint = jax.random.split(key)
-        raw, predictions = super().predictor_step(key_super, composition, idx)
-
-        batch_size = raw.X.shape[0]
-        x_known, a_known = self._noise_known_composition(
-            key_repaint, batch_size, idx
-        )
-        x = raw.X.at[:, self.constraint_indices].set(x_known)
-        a = raw.A.at[:, self.constraint_indices].set(a_known)
-        return raw._replace(A=a, X=x), predictions
+    def _post_predictor_update(self, key, composition: AXL, idx) -> AXL:
+        """RePaint overwrite after each predictor substep at index idx."""
+        batch_size = composition.X.shape[0]
+        x_known, a_known = self._noise_known_composition(key, batch_size, idx)
+        x = composition.X.at[:, self.constraint_indices].set(x_known)
+        a = composition.A.at[:, self.constraint_indices].set(a_known)
+        return composition._replace(A=a, X=x)
 
     def sample(self, key, number_of_samples: int) -> AXL:
         composition = super().sample(key, number_of_samples)

@@ -272,46 +272,6 @@ class LangevinGenerator(AXLGenerator):
             1.0,
         )
 
-    def predictor_step(self, key, composition: AXL, idx) -> Tuple[AXL, AXL]:
-        """One predictor step at zero-based table index ``idx`` (time i+1 -> i)."""
-        noise = self.schedule.noise
-        t_i = noise.time[idx]
-        sigma_i = noise.sigma[idx]
-        g_i = noise.g[idx]
-        g2_i = noise.g_squared[idx]
-
-        predictions = self._get_model_predictions(composition, t_i, sigma_i)
-
-        key_a, key_x, key_l = jax.random.split(key, 3)
-        tau = self._windowed_temperature(sigma_i)
-
-        # The one-transition restriction must not apply at the final step:
-        # every remaining MASK has to resolve (reference: langevin_generator.py:597-604).
-        one_transition = jnp.logical_and(
-            self.sampling_parameters.one_atom_type_transition_per_step, idx != 0
-        )
-        a_im1 = self._atom_types_update(
-            key_a,
-            predictions.A,
-            composition.A,
-            noise.q_matrix[idx],
-            noise.q_bar_matrix[idx],
-            noise.q_bar_tm1_matrix[idx],
-            one_atom_type_transition_per_step=one_transition,
-        )
-
-        z_x = jax.random.normal(key_x, composition.X.shape, composition.X.dtype)
-        x_im1 = self._relative_coordinates_update(
-            composition.X, predictions.X, sigma_i, g2_i, tau * g_i, z_x
-        )
-
-        z_l = jax.random.normal(key_l, composition.L.shape, composition.L.dtype)
-        l_im1 = self._lattice_parameters_update(
-            composition.L, predictions.L, self._sigma_n(sigma_i), g2_i, tau * g_i, z_l
-        )
-
-        return AXL(A=a_im1, X=x_im1, L=l_im1), predictions
-
     def _coordinates_corrector_step_size(self, idx, sigma_i, scores, z):
         """eps_i from the tabulated Langevin dynamics (index 0..N-1)."""
         return self.schedule.langevin.epsilon[idx]
@@ -319,10 +279,57 @@ class LangevinGenerator(AXLGenerator):
     def _lattice_corrector_step_size(self, idx, sigma_n_i, scores, z):
         return self.schedule.langevin.epsilon[idx]
 
-    def corrector_step(self, key, composition: AXL, idx) -> Tuple[AXL, AXL]:
-        """One corrector step at zero-based index ``idx`` (0 extrapolates to sigma_min)."""
-        sigma_i = self._corrector_sigma[idx]
-        t_i = self._corrector_time[idx]
+    def _substep_xl_weights(
+        self, is_predictor, idx, sigma_i, sigma_n_i, predictions, z_x, z_l, tau
+    ):
+        """(score_weight, noise_weight) pairs for the X and L updates.
+
+        Predictor: (g^2_i, tau * g_i); corrector: (eps_i, T tau sqrt(2 eps_i)).
+        ``is_predictor`` may be traced (shared scan program) or a Python bool
+        (the standalone step methods); subclasses override to reshape the
+        predictor/corrector split (e.g. the adaptive corrector zeroes the
+        predictor's X/L motion).
+        """
+        noise = self.schedule.noise
+        g_i = noise.g[idx]
+        g2_i = noise.g_squared[idx]
+        corrector_temperature = self.sampling_parameters.corrector_temperature * tau
+        eps_x = self._coordinates_corrector_step_size(idx, sigma_i, predictions.X, z_x)
+        eps_l = self._lattice_corrector_step_size(idx, sigma_n_i, predictions.L, z_l)
+        w_score_x = jnp.where(is_predictor, g2_i, eps_x)
+        w_noise_x = jnp.where(
+            is_predictor, tau * g_i, corrector_temperature * jnp.sqrt(2.0 * eps_x)
+        )
+        w_score_l = jnp.where(is_predictor, g2_i, eps_l)
+        w_noise_l = jnp.where(
+            is_predictor, tau * g_i, corrector_temperature * jnp.sqrt(2.0 * eps_l)
+        )
+        return w_score_x, w_noise_x, w_score_l, w_noise_l
+
+    def _post_predictor_update(self, key, composition: AXL, idx) -> AXL:
+        """Hook applied after each predictor substep (identity by default).
+
+        Subclasses (e.g. RePaint constraints) override; the shared substep
+        program applies it under a ``jnp.where(is_predictor, ...)`` select so
+        predictor and corrector stay one compiled program.
+        """
+        return composition
+
+    def _substep(self, key, composition: AXL, idx, is_predictor) -> Tuple[AXL, AXL]:
+        """One predictor-or-corrector update as a single shared program.
+
+        The predictor/corrector distinction is a *value* (``is_predictor``),
+        not a program: per-substep scalars (sigma, t, update weights, Q-table
+        rows) are gathered/selected by the flag, so the network — by far the
+        dominant cost — appears exactly once in the compiled HLO. The scan
+        body then iterates this substep (1 + n_correctors) times, cutting
+        compile time ~(1 + n_correctors)x vs inlining separate predictor and
+        corrector programs (reference runs them as distinct module calls:
+        predictor_corrector_axl_generator.py:112-147).
+        """
+        noise = self.schedule.noise
+        sigma_i = jnp.where(is_predictor, noise.sigma[idx], self._corrector_sigma[idx])
+        t_i = jnp.where(is_predictor, noise.time[idx], self._corrector_time[idx])
         sigma_n_i = self._sigma_n(sigma_i)
 
         predictions = self._get_model_predictions(composition, t_i, sigma_i)
@@ -330,48 +337,94 @@ class LangevinGenerator(AXLGenerator):
         key_a, key_x, key_l = jax.random.split(key, 3)
         tau = self._windowed_temperature(sigma_i)
 
+        # Atom types: D3PM posterior sample. The predictor always applies it;
+        # the corrector only when atom_type_transition_in_corrector (static).
+        # The one-transition restriction must not apply at the predictor's
+        # final step: every remaining MASK has to resolve
+        # (reference: langevin_generator.py:597-604).
+        q_idx = jnp.where(is_predictor, idx, self._corrector_q_index[idx])
+        one_transition = jnp.logical_and(
+            self.sampling_parameters.one_atom_type_transition_per_step,
+            jnp.logical_or(jnp.logical_not(is_predictor), idx != 0),
+        )
+        a_updated = self._atom_types_update(
+            key_a,
+            predictions.A,
+            composition.A,
+            noise.q_matrix[q_idx],
+            noise.q_bar_matrix[q_idx],
+            noise.q_bar_tm1_matrix[q_idx],
+            one_atom_type_transition_per_step=one_transition,
+        )
+        do_atom_update = jnp.logical_or(
+            is_predictor, self.sampling_parameters.atom_type_transition_in_corrector
+        )
+        a_new = jnp.where(do_atom_update, a_updated, composition.A)
+
         z_x = jax.random.normal(key_x, composition.X.shape, composition.X.dtype)
-        temperature = (
-            self.sampling_parameters.corrector_temperature
-            * self._windowed_temperature(sigma_i)
-        )
-        eps_x = self._coordinates_corrector_step_size(idx, sigma_i, predictions.X, z_x)
-        x_corrected = self._relative_coordinates_update(
-            composition.X, predictions.X, sigma_i, eps_x,
-            temperature * jnp.sqrt(2.0 * eps_x), z_x
-        )
-
         z_l = jax.random.normal(key_l, composition.L.shape, composition.L.dtype)
-        eps_l = self._lattice_corrector_step_size(idx, sigma_n_i, predictions.L, z_l)
-        l_corrected = self._lattice_parameters_update(
-            composition.L, predictions.L, sigma_n_i, eps_l,
-            temperature * jnp.sqrt(2.0 * eps_l), z_l
+        w_score_x, w_noise_x, w_score_l, w_noise_l = self._substep_xl_weights(
+            is_predictor, idx, sigma_i, sigma_n_i, predictions, z_x, z_l, tau
+        )
+        x_new = self._relative_coordinates_update(
+            composition.X, predictions.X, sigma_i, w_score_x, w_noise_x, z_x
+        )
+        l_new = self._lattice_parameters_update(
+            composition.L, predictions.L, sigma_n_i, w_score_l, w_noise_l, z_l
         )
 
-        if self.sampling_parameters.atom_type_transition_in_corrector:
-            noise = self.schedule.noise
-            q_idx = self._corrector_q_index[idx]
-            a_corrected = self._atom_types_update(
-                key_a,
-                predictions.A,
-                composition.A,
-                noise.q_matrix[q_idx],
-                noise.q_bar_matrix[q_idx],
-                noise.q_bar_tm1_matrix[q_idx],
-                one_atom_type_transition_per_step=jnp.asarray(
-                    self.sampling_parameters.one_atom_type_transition_per_step
-                ),
-            )
-        else:
-            a_corrected = composition.A
+        new_composition = AXL(A=a_new, X=x_new, L=l_new)
 
-        return AXL(A=a_corrected, X=x_corrected, L=l_corrected), predictions
+        if type(self)._post_predictor_update is not LangevinGenerator._post_predictor_update:
+            key_post = jax.random.fold_in(key, 0x5e9)
+            post = self._post_predictor_update(key_post, new_composition, idx)
+            new_composition = jax.tree_util.tree_map(
+                lambda p, c: jnp.where(is_predictor, p, c), post, new_composition
+            )
+
+        return new_composition, predictions
+
+    def predictor_step(self, key, composition: AXL, idx) -> Tuple[AXL, AXL]:
+        """One predictor step at zero-based table index ``idx`` (time i+1 -> i)."""
+        return self._substep(key, composition, idx, is_predictor=True)
+
+    def corrector_step(self, key, composition: AXL, idx) -> Tuple[AXL, AXL]:
+        """One corrector step at zero-based index ``idx`` (0 extrapolates to sigma_min)."""
+        return self._substep(key, composition, idx, is_predictor=False)
 
     # ------------------------------------------------------------------- scan
 
     def _scan_chunk(self, composition: AXL, key, indices, record: bool):
-        """Scan the PC update over one chunk of descending time indices."""
+        """Scan the PC update over one chunk of descending time indices.
+
+        Production path (record=False): each time step is an *inner* scan of
+        the shared ``_substep`` program over the (1 + n_correctors) substep
+        flags, so the network is compiled once per chunk instead of
+        (1 + n_correctors) times — the dominant compile-time cost.
+        """
         n_corr = self.sampling_parameters.number_of_corrector_steps
+
+        if not record:
+            substep_flags = jnp.concatenate(
+                [jnp.ones((1,), bool), jnp.zeros((n_corr,), bool)]
+            )
+
+            def body(carry, idx):
+                def substep_body(inner_carry, is_predictor):
+                    composition, key = inner_carry
+                    key, key_sub = jax.random.split(key)
+                    composition, _ = self._substep(
+                        key_sub, composition, idx, is_predictor
+                    )
+                    return (composition, key), None
+
+                carry, _ = jax.lax.scan(substep_body, carry, substep_flags)
+                return carry, None
+
+            (composition, key), records = jax.lax.scan(
+                body, (composition, key), indices
+            )
+            return composition, key, records
 
         def body(carry, idx):
             composition, key = carry
@@ -384,15 +437,12 @@ class LangevinGenerator(AXLGenerator):
             for _ in range(n_corr):
                 key, key_corr = jax.random.split(key)
                 composition, _ = self.corrector_step(key_corr, composition, idx)
-            if record:
-                ys = _StepRecord(
-                    time_step_index=idx + 1,
-                    composition_i=composition_i,
-                    composition_im1=composition_pred,
-                    model_predictions_i=predictions,
-                )
-            else:
-                ys = None
+            ys = _StepRecord(
+                time_step_index=idx + 1,
+                composition_i=composition_i,
+                composition_im1=composition_pred,
+                model_predictions_i=predictions,
+            )
             return (composition, key), ys
 
         (composition, key), records = jax.lax.scan(

@@ -56,11 +56,17 @@ class ImportReport:
     ignored: List[str] = field(default_factory=list)
     mismatched: List[str] = field(default_factory=list)
     missing: List[str] = field(default_factory=list)
+    # Symmetric-contraction tensors whose *shape* matched but whose torch
+    # weights live in e3nn's symmetrized-U basis while this trunk couples via
+    # iterated Clebsch-Gordan paths: the import assumes the bases coincide,
+    # which is only guaranteed for correlation-1 (linear) blocks.
+    basis_assumed: List[str] = field(default_factory=list)
 
     def summary(self) -> str:
         return (
             f"mapped {len(self.mapped)}, ignored {len(self.ignored)}, "
-            f"mismatched {len(self.mismatched)}, missing {len(self.missing)}"
+            f"mismatched {len(self.mismatched)}, missing {len(self.missing)}, "
+            f"basis-assumed {len(self.basis_assumed)}"
         )
 
 
@@ -299,6 +305,20 @@ def import_mace_state_dict(
                 if tensor.shape == (num_elements, len(paths), mul_out):
                     product[our_name] = tensor
                     report.mapped.append(torch_name)
+                    if our_name.startswith(("w2", "w3")):
+                        # Shape match alone does not prove the torch
+                        # symmetrized-U weights are expressed in this trunk's
+                        # iterated-coupling basis for correlation >= 2.
+                        report.basis_assumed.append(torch_name)
+                        logger.warning(
+                            "MACE import: %s mapped by shape only — torch "
+                            "symmetric-contraction weights are in e3nn's "
+                            "symmetrized-U basis; the iterated-coupling basis "
+                            "is assumed to coincide (unverified for "
+                            "correlation >= 2). Validate trunk outputs before "
+                            "trusting freeze_trunk results.",
+                            torch_name,
+                        )
                 else:
                     report.mismatched.append(
                         f"{torch_name}: torch symmetrized-U basis has shape "

@@ -225,8 +225,13 @@ class MaceScoreNetwork(nn.Module):
             element_channels = channel_of_type[composition.A]
         else:
             element_channels = composition.A
+        # The trunk modules follow their input dtype (mace_modules.py casts
+        # weights/CG tables to the feature dtype at every use site), so the
+        # one-hot's dtype selects the trunk compute precision; geometry
+        # (displacements, distances) stays float32 and is cast at use.
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
         node_attrs = jax.nn.one_hot(
-            element_channels, cfg.resolved_num_elements, dtype=jnp.float32
+            element_channels, cfg.resolved_num_elements, dtype=compute_dtype
         )
 
         trunk = MaceFeatureExtractor(
@@ -251,7 +256,7 @@ class MaceScoreNetwork(nn.Module):
             conditioning = None
         node_features = trunk(
             node_attrs, disp, distances, pair_mask, conditioning
-        )
+        ).astype(jnp.float32)
         if cfg.freeze_trunk:
             # The reference freezes the pretrained extractor
             # (mace_score_network.py:27 docstring / mace_utils.py:133).

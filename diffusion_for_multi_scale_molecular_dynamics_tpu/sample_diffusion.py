@@ -157,6 +157,9 @@ def create_samples_and_write_to_disk(
 
 def main(argv=None) -> None:
     args = build_argument_parser().parse_args(argv)
+    from .utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     os.makedirs(args.output, exist_ok=True)
     configure_logging(args.output)
 

@@ -111,6 +111,9 @@ def run(args, hyper_params: Dict[str, Any]) -> Dict[str, float]:
 
 def main(argv=None) -> None:
     args = build_argument_parser().parse_args(argv)
+    from .utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     if args.start_from_scratch and os.path.isdir(args.output):
         shutil.rmtree(args.output)

@@ -126,10 +126,13 @@ def evaluate(axl_network, oracle, reference_energies, reference_distances, spec,
     elapsed = time.time() - t0
     import jax.numpy as _jnp
 
+    # Chunks are drawn full-size (one compiled program); truncate the
+    # concatenation so exactly spec["samples"] structures are evaluated.
+    n = spec["samples"]
     samples = pieces[0]._replace(
-        A=_jnp.concatenate([p.A for p in pieces]),
-        X=_jnp.concatenate([p.X for p in pieces]),
-        L=_jnp.concatenate([p.L for p in pieces]),
+        A=_jnp.concatenate([p.A for p in pieces])[:n],
+        X=_jnp.concatenate([p.X for p in pieces])[:n],
+        L=_jnp.concatenate([p.L for p in pieces])[:n],
     )
 
     energies, _ = oracle.compute_oracle_energies_and_forces(samples)
