@@ -89,19 +89,23 @@ def _bf16_matmul(x, w, b=None):
     return out
 
 
-def _message_stack(params, h, radial, n_message_layers, n_coordinate_layers, tanh):
-    """Shared math: per-pair message MLP + coordinate gate.
+def _message_stack(
+    params, h_rows, h_all, radial, n_message_layers, n_coordinate_layers, tanh
+):
+    """Shared math: per-pair message MLP + coordinate gate for a row block.
 
     Args:
-        h: [N, F]; radial: [N, N] (squared distances).
+        h_rows: [R, F] target-row features (R = N for the unblocked path);
+        h_all: [N, F] all source features;
+        radial: [R, N] (squared distances).
 
     Returns:
-        m [N, N, H] float32, phi [N, N] float32.
+        m [R, N, H] float32, phi [R, N] float32.
     """
     w0 = params["message_w0"]
-    feature_size = h.shape[-1]
-    u = _bf16_matmul(h, w0[:feature_size])  # [N, H]
-    v = _bf16_matmul(h, w0[feature_size : 2 * feature_size])  # [N, H]
+    feature_size = h_all.shape[-1]
+    u = _bf16_matmul(h_rows, w0[:feature_size])  # [R, H]
+    v = _bf16_matmul(h_all, w0[feature_size : 2 * feature_size])  # [N, H]
     w_radial = w0[2 * feature_size :]  # [1, H]
 
     m = (
@@ -111,9 +115,9 @@ def _message_stack(params, h, radial, n_message_layers, n_coordinate_layers, tan
         + params["message_b0"].reshape(1, 1, -1)
     )
     m = jax.nn.silu(m)
-    n = h.shape[0]
+    rows, n = radial.shape
     hidden = m.shape[-1]
-    m = m.reshape(n * n, hidden)
+    m = m.reshape(rows * n, hidden)
     for layer in range(1, n_message_layers):
         m = jax.nn.silu(
             _bf16_matmul(m, params[f"message_w{layer}"], params[f"message_b{layer}"])
@@ -124,10 +128,10 @@ def _message_stack(params, h, radial, n_message_layers, n_coordinate_layers, tan
         p = jax.nn.silu(
             _bf16_matmul(p, params[f"coord_w{layer}"], params[f"coord_b{layer}"])
         )
-    phi = _bf16_matmul(p, params["coord_wf"])  # [N*N, 1]
+    phi = _bf16_matmul(p, params["coord_wf"])  # [R*N, 1]
     if tanh:
         phi = jnp.tanh(phi)
-    return m.reshape(n, n, hidden), phi.reshape(n, n)
+    return m.reshape(rows, n, hidden), phi.reshape(rows, n)
 
 
 def dense_message_block(
@@ -144,12 +148,27 @@ def dense_message_block(
 
     def per_sample(h_b, radial_b, w_b):
         m, phi = _message_stack(
-            params, h_b, radial_b, n_message_layers, n_coordinate_layers, tanh
+            params, h_b, h_b, radial_b, n_message_layers, n_coordinate_layers, tanh
         )
         m_agg = jnp.sum(m * w_b[:, :, None], axis=1)
         return m_agg, phi
 
     return jax.vmap(per_sample)(h, radial, edge_weights)
+
+
+def _forward_block_rows(n: int, pair_budget: int = 4096) -> int:
+    """Largest divisor of n whose row block holds <= pair_budget pairs.
+
+    At production Si 2x2x2 (n=64) this is the whole sample (4096 pairs, the
+    round-2 kernel); at n=216 it blocks rows so the [R, N, H] activations
+    stay a few MB — whole-sample [N, N, H] blocks would be ~48 MB/layer at
+    H=256 and overflow VMEM.
+    """
+    best = 1
+    for rows in range(1, n + 1):
+        if n % rows == 0 and rows * n <= pair_budget:
+            best = rows
+    return best
 
 
 def _kernel(
@@ -163,26 +182,33 @@ def _kernel(
     n_coordinate_layers,
     tanh,
     param_names,
+    block_rows,
 ):
     # Biases arrive as [1, H]; the stack broadcasts them.
     params = {name: ref[:] for name, ref in zip(param_names, param_refs)}
-    h = h_ref[0]
+    h_all = h_ref[0]
+    # Slice the ref, not the value: Mosaic has no dynamic_slice lowering.
+    h_rows = h_ref[0, pl.ds(pl.program_id(1) * block_rows, block_rows), :]
     radial = radial_ref[0]
     weights = weights_ref[0]
 
     m, phi = _message_stack(
-        params, h, radial, n_message_layers, n_coordinate_layers, tanh
+        params, h_rows, h_all, radial, n_message_layers, n_coordinate_layers, tanh
     )
     m_agg_ref[0] = jnp.sum(m * weights[:, :, None], axis=1)
     phi_ref[0] = phi
 
 
 def pallas_message_block(
-    params, h, radial, edge_weights, *, n_message_layers, n_coordinate_layers, tanh
+    params, h, radial, edge_weights, *, n_message_layers, n_coordinate_layers, tanh,
+    pair_budget: int = 4096,
 ):
-    """Fused kernel: one grid program per batch element, messages stay in VMEM."""
+    """Fused kernel: one grid program per (batch element, target-row block);
+    the per-pair message activations stay in VMEM."""
     batch, n, feature_size = h.shape
     hidden = params["message_b0"].shape[-1]
+    block_rows = _forward_block_rows(n, pair_budget)
+    n_blocks = n // block_rows
 
     param_names = sorted(params)
     # Reshape biases to [1, H] (TPU scalars/vectors want >= 2D).
@@ -198,6 +224,7 @@ def pallas_message_block(
         n_coordinate_layers=n_coordinate_layers,
         tanh=tanh,
         param_names=param_names,
+        block_rows=block_rows,
     )
 
     def wrapped(h_ref, radial_ref, weights_ref, *rest):
@@ -209,22 +236,28 @@ def pallas_message_block(
         )
 
     replicated = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM
+        shape, lambda b, k: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    row_block = lambda width: pl.BlockSpec(  # noqa: E731
+        (1, block_rows, width), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM
     )
     # Interpreter mode off-TPU so the same code path is testable on CPU.
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         wrapped,
-        grid=(batch,),
+        grid=(batch, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, n, feature_size), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, n, feature_size), lambda b, k: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            row_block(n),
+            row_block(n),
         ]
         + [replicated(value.shape) for value in param_values],
         out_specs=[
-            pl.BlockSpec((1, n, hidden), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            row_block(hidden),
+            row_block(n),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((batch, n, hidden), jnp.float32),
@@ -297,9 +330,8 @@ def _backward_kernel(
     h = h_ref[0]  # [N, F] (full sample)
     n = h.shape[0]
     rows = pl.ds(block_index * block_rows, block_rows)
-    h_blk = jax.lax.dynamic_slice_in_dim(
-        h, block_index * block_rows, block_rows, axis=0
-    )  # [BI, F]
+    # Slice the ref, not the value: Mosaic has no dynamic_slice lowering.
+    h_blk = h_ref[0, rows, :]  # [BI, F]
     radial_blk = radial_ref[0]  # [BI, N]
     weights_blk = weights_ref[0]  # [BI, N]
     g_magg = g_magg_ref[0]  # [BI, H]

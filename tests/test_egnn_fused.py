@@ -187,3 +187,32 @@ def test_training_through_fused_block_uses_pallas_backward(inputs):
         p = optax.apply_updates(p, updates)
         values.append(float(value))
     assert values[-1] < values[0]
+
+
+def test_forward_row_blocking_matches_dense(inputs):
+    """Multi-row-block forward grid (the N=216 VMEM path) == dense path."""
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.models.egnn_fused import (
+        _forward_block_rows,
+    )
+
+    assert _forward_block_rows(64) == 64  # production Si 2x2x2: one block
+    assert _forward_block_rows(216) == 18  # Si 3x3x3: 12 row blocks
+    assert _forward_block_rows(7) == 7 and _forward_block_rows(13) == 13
+
+    params, h, radial, weights = inputs
+    m_dense, phi_dense = dense_message_block(
+        params, h, radial, weights,
+        n_message_layers=N_MSG, n_coordinate_layers=N_COORD, tanh=True,
+    )
+    # pair_budget=2N forces block_rows=2 -> N/2 grid steps per sample.
+    m_blocked, phi_blocked = pallas_message_block(
+        params, h, radial, weights,
+        n_message_layers=N_MSG, n_coordinate_layers=N_COORD, tanh=True,
+        pair_budget=2 * N,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_blocked), np.asarray(m_dense), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(phi_blocked), np.asarray(phi_dense), atol=1e-4, rtol=1e-3
+    )
