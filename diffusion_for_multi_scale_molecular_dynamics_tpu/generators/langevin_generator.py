@@ -405,24 +405,30 @@ class LangevinGenerator(AXLGenerator):
         n_corr = self.sampling_parameters.number_of_corrector_steps
 
         if not record:
-            substep_flags = jnp.concatenate(
-                [jnp.ones((1,), bool), jnp.zeros((n_corr,), bool)]
+            # Flatten (time step, substep) into ONE scan over (idx, flag)
+            # pairs: [(i, pred), (i, corr) x n_corr, (i-1, pred), ...]. The
+            # body is a single shared substep program — the network appears
+            # once in the compiled HLO, with no nested-loop structure.
+            n_steps = indices.shape[0]
+            flat_indices = jnp.repeat(indices, 1 + n_corr)
+            flags = jnp.tile(
+                jnp.concatenate(
+                    [jnp.ones((1,), bool), jnp.zeros((n_corr,), bool)]
+                ),
+                n_steps,
             )
 
-            def body(carry, idx):
-                def substep_body(inner_carry, is_predictor):
-                    composition, key = inner_carry
-                    key, key_sub = jax.random.split(key)
-                    composition, _ = self._substep(
-                        key_sub, composition, idx, is_predictor
-                    )
-                    return (composition, key), None
-
-                carry, _ = jax.lax.scan(substep_body, carry, substep_flags)
-                return carry, None
+            def body(carry, step):
+                idx, is_predictor = step
+                composition, key = carry
+                key, key_sub = jax.random.split(key)
+                composition, _ = self._substep(
+                    key_sub, composition, idx, is_predictor
+                )
+                return (composition, key), None
 
             (composition, key), records = jax.lax.scan(
-                body, (composition, key), indices
+                body, (composition, key), (flat_indices, flags)
             )
             return composition, key, records
 
