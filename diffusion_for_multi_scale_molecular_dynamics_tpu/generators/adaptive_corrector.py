@@ -36,7 +36,25 @@ class AdaptiveCorrectorGenerator(LangevinGenerator):
         score_norm = score_norm / sigma_i
         z_norm = jnp.mean(jnp.linalg.norm(z, axis=-1))
         r = self.noise_parameters.corrector_r
-        return 2.0 * (r * z_norm / jnp.clip(score_norm, min=self.small_epsilon)) ** 2
+        # length = |z|/|s| diverges when the learned score norm is tiny (the
+        # near-uniform large-sigma phase) and the step teleports atoms — the
+        # documented reference-default failure on the production system. An
+        # exact harmonic score has |s| = sqrt(dof / (s_data^2 + sigma^2))
+        # over the dof components the score norm covers, so cap length at
+        # cap_factor x its exact-score value (see sampling parameters).
+        length = z_norm / jnp.clip(score_norm, min=self.small_epsilon)
+        cap_factor = self.sampling_parameters.adaptive_corrector_max_length_over_sigma
+        if cap_factor > 0:
+            mode_std = self.sampling_parameters.adaptive_corrector_mode_std
+            axes = norm_axes if isinstance(norm_axes, tuple) else (norm_axes,)
+            dof = 1.0
+            for axis in axes:
+                dof = dof * sigma_normalized_scores.shape[axis]
+            harmonic_length = z_norm * jnp.sqrt(
+                (sigma_i**2 + mode_std**2) / dof
+            )
+            length = jnp.minimum(length, cap_factor * harmonic_length)
+        return 2.0 * (r * length) ** 2
 
     def _coordinates_corrector_step_size(self, idx, sigma_i, scores, z):
         return self._generic_corrector_step_size(sigma_i, scores, z, norm_axes=(-2, -1))

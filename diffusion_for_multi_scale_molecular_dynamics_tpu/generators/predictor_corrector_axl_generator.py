@@ -34,3 +34,16 @@ class PredictorCorrectorSamplingParameters(SamplingParameters):
     # seeding hot outliers at large sigma. Defaults are inert.
     noise_temperature: float = 1.0
     temperature_sigma_max: float = float("inf")
+    # Adaptive-corrector guard (beyond-reference): the adaptive step size
+    # eps = 2 (r |z| / |s|)^2 diverges when the learned score norm |s| is
+    # tiny (large sigma, near-uniform phase) — the documented failure mode of
+    # the reference-default r on the production system (+3.5 eV/atom,
+    # experiments/roofline.md). The guard caps the score-derived length
+    # |z|/|s| at adaptive_corrector_max_length_over_sigma * sqrt(sigma^2 +
+    # adaptive_corrector_mode_std^2): with mode_std set to the data's thermal
+    # displacement scale (sampling/reheat_calibration.measured_mode_std) the
+    # cap sits a factor above the exact-score value sqrt(s^2 + sigma^2) and
+    # only fires on pathological predictions. <= 0 disables (strict
+    # reference behavior).
+    adaptive_corrector_max_length_over_sigma: float = 4.0
+    adaptive_corrector_mode_std: float = 0.0

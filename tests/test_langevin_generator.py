@@ -439,3 +439,65 @@ def test_corrector_temperature_scales_noise(rng_key):
     noise_hot = np.asarray(corrected_hot.X) - np.asarray(corrected.X)
     noise_hot -= np.round(noise_hot)
     np.testing.assert_allclose(noise_hot, 2.0 * noise_unit, rtol=1e-4, atol=1e-6)
+
+
+def test_adaptive_corrector_step_size_guard(rng_key):
+    """A vanishing learned score must not produce a divergent adaptive step
+    (the reference-default failure mode); a healthy harmonic-scale score
+    must be left untouched by the cap."""
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.generators.adaptive_corrector import (
+        AdaptiveCorrectorGenerator,
+    )
+
+    params = PredictorCorrectorSamplingParameters(
+        number_of_corrector_steps=1,
+        num_atom_types=NUM_TYPES,
+        number_of_atoms=NATOMS,
+        number_of_samples=4,
+        use_fixed_lattice_parameters=True,
+        cell_dimensions=[5.43] * D,
+        adaptive_corrector_mode_std=0.005,
+    )
+    noise_params = NoiseParameters(
+        total_time_steps=N_STEPS, sigma_min=1e-4, sigma_max=0.2
+    )
+    generator = AdaptiveCorrectorGenerator(noise_params, params, lambda b: None)
+
+    sigma = 0.1
+    z = jax.random.normal(rng_key, (4, NATOMS, D))
+    tiny_scores = jnp.full((4, NATOMS, D), 1e-12)
+    eps_guarded = generator._coordinates_corrector_step_size(
+        jnp.asarray(5), sigma, tiny_scores, z
+    )
+    # Cap: length <= 4 * z_norm * sqrt(sigma^2 + mode^2) / sqrt(3N).
+    z_norm = float(jnp.mean(jnp.linalg.norm(z, axis=-1)))
+    r = noise_params.corrector_r
+    max_len = 4.0 * z_norm * np.sqrt((sigma**2 + 0.005**2) / (NATOMS * D))
+    assert float(eps_guarded) <= 2.0 * (r * max_len) ** 2 * (1 + 1e-6)
+
+    # A score at the exact harmonic magnitude is untouched by the cap.
+    mode_std = 0.005
+    variance = mode_std**2 + sigma**2
+    d = jax.random.normal(jax.random.fold_in(rng_key, 1), (4, NATOMS, D)) * np.sqrt(variance)
+    healthy = -sigma * d / variance
+    eps_healthy = generator._coordinates_corrector_step_size(
+        jnp.asarray(5), sigma, healthy, z
+    )
+    unguarded = PredictorCorrectorSamplingParameters(
+        number_of_corrector_steps=1,
+        num_atom_types=NUM_TYPES,
+        number_of_atoms=NATOMS,
+        number_of_samples=4,
+        use_fixed_lattice_parameters=True,
+        cell_dimensions=[5.43] * D,
+        adaptive_corrector_max_length_over_sigma=0.0,
+    )
+    generator_unguarded = AdaptiveCorrectorGenerator(
+        noise_params, unguarded, lambda b: None
+    )
+    eps_reference = generator_unguarded._coordinates_corrector_step_size(
+        jnp.asarray(5), sigma, healthy, z
+    )
+    np.testing.assert_allclose(
+        float(eps_healthy), float(eps_reference), rtol=1e-6
+    )
