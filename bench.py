@@ -93,14 +93,15 @@ def time_scan_sampler(generator, repeats=3):
     jax.block_until_ready(samples.X)
     warmup = time.perf_counter() - t0
 
-    cache_size_before = generator._compiled_scan_chunk._cache_size()
+    compiled = generator._compiled_scan_chunk_with_params
+    cache_size_before = compiled._cache_size()
     times = []
     for r in range(1, repeats + 1):
         t0 = time.perf_counter()
         samples = generator.sample(jax.random.PRNGKey(r), BATCH)
         jax.block_until_ready(samples.X)
         times.append(time.perf_counter() - t0)
-    assert generator._compiled_scan_chunk._cache_size() == cache_size_before, (
+    assert compiled._cache_size() == cache_size_before, (
         "scan chunk recompiled during timing - measurements are contaminated"
     )
     assert bool((samples.A != 1).all()), "benchmark sample left MASK atoms"
@@ -194,19 +195,39 @@ def read_reference_cpu_baseline():
 
 
 def time_reference_style_loop(generator):
-    """Host-driven per-step loop (the reference's execution architecture)."""
+    """Host-driven per-step loop (the reference's execution architecture).
+
+    Network parameters enter as jit arguments (closure-bound weights would
+    bloat the HLO with 38 MB of constants and cost minutes of client-side
+    lowering — see generators/axl_generator.py::split_bound_network).
+    """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     key = jax.random.PRNGKey(2)
     composition = generator.initialize(key, BATCH)
+    net_params = generator._network_params
+    apply_fn = generator._apply_fn
 
-    predictor = jax.jit(generator.predictor_step)
-    corrector = jax.jit(generator.corrector_step)
+    def with_params(step_method):
+        def step(params, k, comp, idx):
+            previous = generator.axl_network
+            generator.axl_network = functools.partial(apply_fn, params)
+            try:
+                return step_method(k, comp, idx)
+            finally:
+                generator.axl_network = previous
+
+        return jax.jit(step)
+
+    predictor = with_params(generator.predictor_step)
+    corrector = with_params(generator.corrector_step)
 
     # Compile both step programs.
-    comp, _ = predictor(key, composition, jnp.asarray(N_STEPS - 1))
-    comp, _ = corrector(key, comp, jnp.asarray(N_STEPS - 1))
+    comp, _ = predictor(net_params, key, composition, jnp.asarray(N_STEPS - 1))
+    comp, _ = corrector(net_params, key, comp, jnp.asarray(N_STEPS - 1))
     jax.block_until_ready(comp.X)
 
     t0 = time.perf_counter()
@@ -214,10 +235,10 @@ def time_reference_style_loop(generator):
     for i in range(N_STEPS - 1, N_STEPS - 1 - BASELINE_PROBE_STEPS, -1):
         key, k1 = jax.random.split(key)
         idx = jnp.asarray(i)
-        comp, _ = predictor(k1, comp, idx)
+        comp, _ = predictor(net_params, k1, comp, idx)
         for _ in range(N_CORRECTORS):
             key, k2 = jax.random.split(key)
-            comp, _ = corrector(k2, comp, idx)
+            comp, _ = corrector(net_params, k2, comp, idx)
         # The reference's loop synchronizes with the host every step
         # (tqdm + per-step tensor bookkeeping).
         jax.block_until_ready(comp.X)

@@ -70,3 +70,24 @@ class AXLGenerator(ABC):
     @abstractmethod
     def initialize(self, key, number_of_samples: int) -> AXL:
         """Initialize samples from the fully-noised distribution."""
+
+
+def split_bound_network(axl_network):
+    """Extract (apply_fn, params) from a partial-bound score network.
+
+    Compiled sampling programs must take the network parameters as traced
+    *arguments*: a ``functools.partial(net.apply, params)`` closure bakes
+    every weight into the HLO as a literal constant (tens of MB of program
+    text for production networks), and client-side lowering of that program
+    costs minutes per variant. Returns (None, None) when the callable is not
+    a recognizable single-positional-arg partial (closure fallback).
+    """
+    import functools
+
+    if (
+        isinstance(axl_network, functools.partial)
+        and len(axl_network.args) == 1
+        and not axl_network.keywords
+    ):
+        return axl_network.func, axl_network.args[0]
+    return None, None

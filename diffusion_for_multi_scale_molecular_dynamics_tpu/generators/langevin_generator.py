@@ -28,6 +28,7 @@ Updates:
 """
 
 import dataclasses
+import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -136,7 +137,27 @@ class LangevinGenerator(AXLGenerator):
                 "sampling_parameters", dataclasses.asdict(sampling_parameters)
             )
 
+        # Network parameters must enter the compiled program as *arguments*,
+        # never as closure constants: a partial-bound network bakes every
+        # weight into the HLO as literals (38 MB of text for the production
+        # EGNN), and client-side lowering/serialization of that program took
+        # 5-20 minutes per variant on this host — the round-2 "slow remote
+        # compile" in full. With parameters as arguments the chunk lowers in
+        # ~1 s and compiles remotely in ~30 s.
+        self._apply_fn = None
+        self._network_params = None
+        if (
+            isinstance(axl_network, functools.partial)
+            and len(axl_network.args) == 1
+            and not axl_network.keywords
+        ):
+            self._apply_fn = axl_network.func
+            self._network_params = axl_network.args[0]
+
         self._compiled_scan_chunk = jax.jit(self._scan_chunk, static_argnums=(3,))
+        self._compiled_scan_chunk_with_params = jax.jit(
+            self._scan_chunk_with_params, static_argnums=(4,)
+        )
 
     # ------------------------------------------------------------- primitives
 
@@ -456,6 +477,20 @@ class LangevinGenerator(AXLGenerator):
         )
         return composition, key, records
 
+    def _scan_chunk_with_params(self, params, composition: AXL, key, indices, record: bool):
+        """_scan_chunk with the network parameters as a traced argument.
+
+        The swap happens at trace time (jit retraces per cache entry), so the
+        compiled program reads weights from its inputs instead of embedding
+        them as constants.
+        """
+        previous = self.axl_network
+        self.axl_network = functools.partial(self._apply_fn, params)
+        try:
+            return self._scan_chunk(composition, key, indices, record)
+        finally:
+            self.axl_network = previous
+
     def sample_from_noisy_composition(
         self,
         key,
@@ -494,9 +529,17 @@ class LangevinGenerator(AXLGenerator):
         all_records = []
         for offset in range(0, all_indices.shape[0], chunk):
             indices = all_indices[offset : offset + chunk]
-            composition, key_scan, records = self._compiled_scan_chunk(
-                composition, key_scan, indices, self.record
-            )
+            if self._apply_fn is not None:
+                composition, key_scan, records = (
+                    self._compiled_scan_chunk_with_params(
+                        self._network_params, composition, key_scan, indices,
+                        self.record,
+                    )
+                )
+            else:
+                composition, key_scan, records = self._compiled_scan_chunk(
+                    composition, key_scan, indices, self.record
+                )
             if self.record and records is not None:
                 all_records.append(records)
         if self.record and all_records:

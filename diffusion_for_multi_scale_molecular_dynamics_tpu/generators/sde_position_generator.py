@@ -17,6 +17,8 @@ Euler-Maruyama trajectory is one lax.scan inside jit.
 import logging
 from dataclasses import dataclass
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -88,7 +90,13 @@ class ExplodingVarianceSDEPositionGenerator(AXLGenerator):
         self.trajectory_initializer = trajectory_initializer
         self.record = sampling_parameters.record_samples
         self.sample_trajectory_recorder = SampleTrajectory()
+        from .axl_generator import split_bound_network
+
+        self._apply_fn, self._network_params = split_bound_network(axl_network)
         self._compiled_sample = jax.jit(self._sample_impl, static_argnums=(1,))
+        self._compiled_sample_with_params = jax.jit(
+            self._sample_with_params, static_argnums=(2,)
+        )
 
     def initialize(self, key, number_of_samples: int) -> AXL:
         return self.trajectory_initializer.initialize(key, number_of_samples)
@@ -138,8 +146,25 @@ class ExplodingVarianceSDEPositionGenerator(AXLGenerator):
         final_x = map_relative_coordinates_to_unit_cell(x_final)
         return composition._replace(X=final_x), trajectory
 
+    def _sample_with_params(self, params, key, number_of_samples: int):
+        """_sample_impl with network parameters as a traced argument (keeps
+        the weights out of the compiled HLO; see split_bound_network)."""
+        previous = self.axl_network
+        self.axl_network = functools.partial(self._apply_fn, params)
+        try:
+            return self._sample_impl(key, number_of_samples)
+        finally:
+            self.axl_network = previous
+
     def sample(self, key, number_of_samples: int) -> AXL:
-        composition, trajectory = self._compiled_sample(key, number_of_samples)
+        if self._apply_fn is not None:
+            composition, trajectory = self._compiled_sample_with_params(
+                self._network_params, key, number_of_samples
+            )
+        else:
+            composition, trajectory = self._compiled_sample(
+                key, number_of_samples
+            )
         if self.record:
             self.sample_trajectory_recorder.record(
                 "sde_trajectory", dict(relative_coordinates=trajectory)

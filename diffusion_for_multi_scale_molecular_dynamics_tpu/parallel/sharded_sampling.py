@@ -39,6 +39,17 @@ def shard_generator_over_mesh(generator, mesh: Mesh) -> None:
         in_shardings=(composition_shardings, replicated, replicated),
         out_shardings=None,
     )
+    if getattr(generator, "_apply_fn", None) is not None:
+        # Params-as-argument path (keeps weights out of the HLO): replicate
+        # the parameter pytree, shard the composition batch axis.
+        generator._compiled_scan_chunk_with_params = jax.jit(
+            generator._scan_chunk_with_params,
+            static_argnums=(4,),
+            in_shardings=(
+                replicated, composition_shardings, replicated, replicated,
+            ),
+            out_shardings=None,
+        )
 
     original_initialize = generator.initialize
 
