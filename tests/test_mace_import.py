@@ -7,6 +7,8 @@ require (a) bit-identical parameters, (b) identical network outputs, and
 drift in either direction breaks these tests.
 """
 
+import math
+
 import numpy as np
 import pytest
 
@@ -183,6 +185,434 @@ def test_element_z_number_mapping(batch):
     out_ch14 = identity.apply(params, ch14)
     np.testing.assert_allclose(
         np.asarray(out_mapped.X), np.asarray(out_ch14.X), atol=0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixture checkpoint -> output parity against an independent NumPy forward
+# ---------------------------------------------------------------------------
+#
+# Without mace-torch in the environment (no egress), the strongest offline
+# evidence is a state dict hand-built in mace-torch's exact tensor naming /
+# flat-weight ordering, pushed through BOTH (a) the importer + flax trunk and
+# (b) a from-scratch NumPy forward that consumes the *flat torch tensors
+# directly* with e3nn's layout semantics (input-major instruction order,
+# 1/sqrt(fan_in) path normalization, normalize2mom silu). Agreement pins the
+# whole pipeline: _layer_layout, every split/transpose in the importer, and
+# the flax modules' normalizations. The symmetric-contraction caveat stands:
+# for correlation >= 2 the torch weights live in e3nn's symmetrized-U basis
+# (reported as basis_assumed) — this fixture validates the iterated-CG
+# weight *layout*, not that basis identification.
+
+from diffusion_for_multi_scale_molecular_dynamics_tpu.models.mace_import import (  # noqa: E402
+    _layer_layout,
+)
+from diffusion_for_multi_scale_molecular_dynamics_tpu.models.mace_modules import (  # noqa: E402
+    MaceFeatureExtractor,
+    _SILU_NORM,
+    _symmetric_paths,
+    interaction_irreps,
+)
+from diffusion_for_multi_scale_molecular_dynamics_tpu.ops.irreps_layers import (  # noqa: E402
+    tensor_product_paths,
+)
+from diffusion_for_multi_scale_molecular_dynamics_tpu.ops.so3 import (  # noqa: E402
+    Irreps,
+    clebsch_gordan,
+    spherical_harmonics,
+)
+
+
+def _np_split(features, irreps):
+    """Flat [..., dim] -> per-group [..., mul, 2l+1] blocks (numpy)."""
+    blocks, offset = [], 0
+    for mul, ir in Irreps(irreps):
+        size = mul * ir.dim
+        block = features[..., offset:offset + size]
+        blocks.append(block.reshape(block.shape[:-1] + (mul, ir.dim)))
+        offset += size
+    return blocks
+
+
+def _np_concat(blocks):
+    return np.concatenate(
+        [b.reshape(b.shape[:-2] + (-1,)) for b in blocks], axis=-1
+    )
+
+
+def _np_linear(flat_weight, x, irreps_in, irreps_out):
+    """e3nn o3.Linear from the FLAT torch weight: blocks in input-major
+    instruction order, each output normalized by 1/sqrt(total fan_in)."""
+    irreps_in, irreps_out = Irreps(irreps_in), Irreps(irreps_out)
+    blocks_in = _np_split(x, irreps_in)
+    out = [
+        np.zeros(x.shape[:-1] + (mul, ir.dim), dtype=x.dtype)
+        for mul, ir in irreps_out
+    ]
+    offset = 0
+    for i_in, (mul_in, ir_in) in enumerate(irreps_in):
+        for i_out, (mul_out, ir_out) in enumerate(irreps_out):
+            if ir_in != ir_out:
+                continue
+            w = flat_weight[offset:offset + mul_in * mul_out].reshape(
+                mul_in, mul_out
+            )
+            offset += mul_in * mul_out
+            out[i_out] = out[i_out] + np.einsum("...um,uv->...vm",
+                                                blocks_in[i_in], w)
+    assert offset == flat_weight.size
+    for i_out, (mul_out, ir_out) in enumerate(irreps_out):
+        fan_in = sum(m for m, ir in irreps_in if ir == ir_out)
+        if fan_in:
+            out[i_out] = out[i_out] / math.sqrt(fan_in)
+    return _np_concat(out)
+
+
+def _np_skip_tp(flat_weight, feats, attrs, irreps_features, irreps_out, E):
+    """FCTP(node_feats, element one-hot) from the flat torch weight:
+    per matching (feature, out) block a [mul_f, E, mul_out] tensor."""
+    irreps_features, irreps_out = Irreps(irreps_features), Irreps(irreps_out)
+    feat_blocks = _np_split(feats, irreps_features)
+    out = [
+        np.zeros(feats.shape[:-1] + (mul, ir.dim), dtype=feats.dtype)
+        for mul, ir in irreps_out
+    ]
+    offset = 0
+    for i_f, (mul_f, ir_f) in enumerate(irreps_features):
+        for i_out, (mul_out, ir_out) in enumerate(irreps_out):
+            if ir_f != ir_out:
+                continue
+            count = mul_f * E * mul_out
+            w = flat_weight[offset:offset + count].reshape(mul_f, E, mul_out)
+            offset += count
+            out[i_out] = out[i_out] + np.einsum(
+                "...vm,...e,vew->...wm", feat_blocks[i_f], attrs, w
+            )
+    assert offset == flat_weight.size
+    for i_out, (mul_out, ir_out) in enumerate(irreps_out):
+        fan_in = sum(E * m for m, ir in irreps_features if ir == ir_out)
+        if fan_in:
+            out[i_out] = out[i_out] / math.sqrt(fan_in)
+    return _np_concat(out)
+
+
+def _np_radial_mlp(state_dict, prefix, x, depths):
+    for depth in range(depths):
+        w = state_dict[f"{prefix}.layer{depth}.weight"]
+        x = x @ w / math.sqrt(w.shape[0])
+        if depth < depths - 1:
+            x = (x / (1.0 + np.exp(-x))) * _SILU_NORM
+    return x
+
+
+def _np_symmetric_contraction(state_dict, prefix, feats, attrs, message_irreps,
+                              irreps_out, correlation):
+    message_irreps, irreps_out = Irreps(message_irreps), Irreps(irreps_out)
+    a_blocks = _np_split(feats, message_irreps)
+    blocks_out = []
+    for i_out, (mul_out, ir_out) in enumerate(irreps_out):
+        order1, order2, order3 = _symmetric_paths(
+            message_irreps, ir_out, correlation
+        )
+        by_order = {3: order3, 2: order2, 1: order1}
+        orders = list(range(correlation, 0, -1))
+        names = [f"{prefix}.contractions.{i_out}.weights_max"] + [
+            f"{prefix}.contractions.{i_out}.weights.{j}"
+            for j in range(len(orders) - 1)
+        ]
+        total = np.zeros(feats.shape[:-1] + (mul_out, ir_out.dim),
+                         dtype=feats.dtype)
+        n_paths = len(order1) + len(order2) + len(order3)
+        for name, order in zip(names, orders):
+            w = np.einsum("...e,epc->...pc", attrs, state_dict[name])
+            for p, path in enumerate(by_order[order]):
+                if order == 1:
+                    term = a_blocks[path]
+                elif order == 2:
+                    i1, i2 = path
+                    cg = np.asarray(clebsch_gordan(
+                        message_irreps[i1][1].l, message_irreps[i2][1].l,
+                        ir_out.l,
+                    ))
+                    term = np.einsum("abM,...ca,...cb->...cM", cg,
+                                     a_blocks[i1], a_blocks[i2])
+                else:
+                    i1, i2, i3, lam = path
+                    c12 = np.asarray(clebsch_gordan(
+                        message_irreps[i1][1].l, message_irreps[i2][1].l, lam
+                    ))
+                    c3 = np.asarray(clebsch_gordan(
+                        lam, message_irreps[i3][1].l, ir_out.l
+                    ))
+                    inter = np.einsum("abm,...ca,...cb->...cm", c12,
+                                      a_blocks[i1], a_blocks[i2])
+                    term = np.einsum("mdM,...cm,...cd->...cM", c3, inter,
+                                     a_blocks[i3])
+                total = total + w[..., p, :, None] * term
+        blocks_out.append(total / math.sqrt(max(n_paths, 1)))
+    return _np_concat(blocks_out)
+
+
+def numpy_trunk_forward(state_dict, config, node_attrs, vectors, distances,
+                        pair_mask):
+    """Independent NumPy forward of the MACE trunk from the torch state dict."""
+    E = config.resolved_num_elements
+    hidden = Irreps(config.hidden_irreps)
+    scalar_hidden = Irreps([(m, ir) for m, ir in hidden if ir.l == 0])
+    channels = hidden[0][0]
+    message_irreps = interaction_irreps(channels, config.max_ell)
+
+    safe = np.where(distances > 1e-8, distances, 1.0)[..., None]
+    harmonics = np.asarray(
+        spherical_harmonics(config.max_ell, jnp.asarray(vectors / safe)),
+        dtype=np.float64,
+    )
+
+    # Radial embedding: Bessel x polynomial cutoff (p=5), masked per pair.
+    n = np.arange(1, config.num_bessel + 1, dtype=np.float64)
+    bessel = (
+        math.sqrt(2.0 / config.r_max)
+        * np.sin((math.pi / config.r_max) * n * distances[..., None])
+        / np.where(distances > 1e-8, distances, 1.0)[..., None]
+    )
+    p = 5
+    x = np.clip(distances / config.r_max, 0.0, 1.0)
+    envelope = (
+        1.0
+        - ((p + 1.0) * (p + 2.0) / 2.0) * x**p
+        + p * (p + 2.0) * x ** (p + 1)
+        - (p * (p + 1.0) / 2.0) * x ** (p + 2)
+    )
+    envelope = np.where(distances < config.r_max, envelope, 0.0)
+    radial = bessel * envelope[..., None]
+
+    node_feats = _np_linear(
+        state_dict["node_embedding.linear.weight"],
+        node_attrs.astype(np.float64),
+        Irreps(f"{E}x0e"),
+        scalar_hidden,
+    )
+    outputs = []
+    for index, layout in enumerate(_layer_layout(config)):
+        prefix = f"interactions.{index}"
+        feats_up = _np_linear(
+            state_dict[f"{prefix}.linear_up.weight"], node_feats,
+            layout["in"], layout["in"],
+        )
+        paths = tensor_product_paths(layout["in"], config.max_ell,
+                                     layout["message"])
+        tp_w = _np_radial_mlp(
+            state_dict, f"{prefix}.conv_tp_weights", radial,
+            len(tuple(config.radial_mlp)) + 1,
+        )
+        tp_w = tp_w * pair_mask[..., None]
+        tp_w = tp_w.reshape(tp_w.shape[:-1] + (len(paths), channels))
+        # Messages from source features j coupled with Y(r_ij), per path.
+        feat_blocks = _np_split(feats_up, layout["in"])
+        msg_blocks = [
+            np.zeros(
+                distances.shape + (mul, ir.dim), dtype=node_feats.dtype
+            )
+            for mul, ir in layout["message"]
+        ]
+        fan = [0] * len(list(layout["message"]))
+        for p_index, (i_f, l_sh, i_t) in enumerate(paths):
+            fan[i_t] += 1
+            cg = np.asarray(clebsch_gordan(
+                layout["in"][i_f][1].l, l_sh, layout["message"][i_t][1].l
+            ))
+            y = harmonics[..., l_sh * l_sh:(l_sh + 1) * (l_sh + 1)]
+            source = np.broadcast_to(
+                feat_blocks[i_f][:, None, :, :, :],
+                distances.shape + feat_blocks[i_f].shape[-2:],
+            )
+            msg_blocks[i_t] = msg_blocks[i_t] + np.einsum(
+                "abc,...ua,...b,...u->...uc",
+                cg, source, y, tp_w[..., p_index, :],
+            )
+        for i_t in range(len(msg_blocks)):
+            msg_blocks[i_t] = msg_blocks[i_t] / math.sqrt(fan[i_t])
+        messages = _np_concat(msg_blocks)
+        aggregated = messages.sum(axis=2) / config.avg_num_neighbors
+        aggregated = _np_linear(
+            state_dict[f"{prefix}.linear.weight"], aggregated,
+            layout["message"], layout["message"],
+        )
+        if layout["residual"]:
+            skip = _np_skip_tp(
+                state_dict[f"{prefix}.skip_tp.weight"], node_feats,
+                node_attrs.astype(np.float64), layout["in"], layout["target"],
+                E,
+            )
+            msg_for_product = aggregated
+        else:
+            msg_for_product = _np_skip_tp(
+                state_dict[f"{prefix}.skip_tp.weight"], aggregated,
+                node_attrs.astype(np.float64), layout["message"],
+                layout["message"], E,
+            )
+            skip = None
+        contracted = _np_symmetric_contraction(
+            state_dict, f"products.{index}.symmetric_contractions",
+            msg_for_product, node_attrs.astype(np.float64),
+            layout["message"], layout["target"], config.correlation,
+        )
+        node_feats = _np_linear(
+            state_dict[f"products.{index}.linear.weight"], contracted,
+            layout["target"], layout["target"],
+        )
+        if skip is not None:
+            node_feats = node_feats + skip
+        outputs.append(node_feats)
+    return np.concatenate(outputs, axis=-1)
+
+
+def build_fixture_state_dict(config, rng):
+    """A mace-torch-schema state dict built from the schema alone (no
+    exporter involved): every flat shape is derived by walking the config
+    exactly as mace-torch lays its tensors out."""
+    E = config.resolved_num_elements
+    hidden = Irreps(config.hidden_irreps)
+    scalar_hidden = Irreps([(m, ir) for m, ir in hidden if ir.l == 0])
+    channels = hidden[0][0]
+
+    def linear_size(irreps_in, irreps_out):
+        return sum(
+            mi * mo
+            for mi, ir_in in Irreps(irreps_in)
+            for mo, ir_out in Irreps(irreps_out)
+            if ir_in == ir_out
+        )
+
+    def fctp_size(irreps_f, irreps_out):
+        return sum(
+            mf * E * mo
+            for mf, ir_f in Irreps(irreps_f)
+            for mo, ir_out in Irreps(irreps_out)
+            if ir_f == ir_out
+        )
+
+    sd = {}
+    sd["node_embedding.linear.weight"] = rng.normal(
+        size=linear_size(f"{E}x0e", scalar_hidden)
+    )
+    sd["radial_embedding.bessel_fn.bessel_weights"] = (
+        np.arange(1, config.num_bessel + 1) * math.pi / config.r_max
+    )
+    mlp_sizes = tuple(config.radial_mlp)
+    for index, layout in enumerate(_layer_layout(config)):
+        prefix = f"interactions.{index}"
+        sd[f"{prefix}.linear_up.weight"] = rng.normal(
+            size=linear_size(layout["in"], layout["in"])
+        )
+        paths = tensor_product_paths(layout["in"], config.max_ell,
+                                     layout["message"])
+        widths = (config.num_bessel,) + mlp_sizes + (len(paths) * channels,)
+        for depth in range(len(widths) - 1):
+            sd[f"{prefix}.conv_tp_weights.layer{depth}.weight"] = rng.normal(
+                size=(widths[depth], widths[depth + 1])
+            )
+        sd[f"{prefix}.linear.weight"] = rng.normal(
+            size=linear_size(layout["message"], layout["message"])
+        )
+        skip_f = layout["in"] if layout["residual"] else layout["message"]
+        skip_t = layout["target"] if layout["residual"] else layout["message"]
+        sd[f"{prefix}.skip_tp.weight"] = rng.normal(
+            size=fctp_size(skip_f, skip_t)
+        )
+        for i_out, (mul_out, ir_out) in enumerate(Irreps(layout["target"])):
+            order1, order2, order3 = _symmetric_paths(
+                Irreps(layout["message"]), ir_out, config.correlation
+            )
+            by_order = {3: order3, 2: order2, 1: order1}
+            orders = list(range(config.correlation, 0, -1))
+            tprefix = f"products.{index}.symmetric_contractions.contractions.{i_out}"
+            sd[f"{tprefix}.weights_max"] = rng.normal(
+                size=(E, len(by_order[orders[0]]), mul_out)
+            )
+            for j, order in enumerate(orders[1:]):
+                sd[f"{tprefix}.weights.{j}"] = rng.normal(
+                    size=(E, len(by_order[order]), mul_out)
+                )
+        sd[f"products.{index}.linear.weight"] = rng.normal(
+            size=linear_size(layout["target"], layout["target"])
+        )
+    return {k: np.asarray(v, dtype=np.float64) for k, v in sd.items()}
+
+
+def test_fixture_checkpoint_output_parity():
+    """Hand-built torch-schema checkpoint -> importer + flax trunk must match
+    the independent NumPy forward (VERDICT round-3 item 6; reference loads
+    these checkpoints at src/.../models/mace_utils.py:133)."""
+    config = MaceScoreNetworkConfig(
+        num_atom_types=2,
+        hidden_irreps="4x0e + 4x1o",
+        max_ell=2,
+        correlation=2,
+        r_max=5.0,
+        num_interactions=2,
+        num_bessel=4,
+        radial_mlp=(8,),
+        avg_num_neighbors=3.0,
+    )
+    rng = np.random.default_rng(1234)
+    state_dict = build_fixture_state_dict(config, rng)
+
+    trunk_params, report = import_mace_state_dict(state_dict, config,
+                                                  strict=True)
+    assert not report.missing and not report.mismatched
+    # correlation=2 contractions are mapped by shape with the basis caveat.
+    assert report.basis_assumed
+
+    B, N = 2, 6
+    positions = rng.uniform(0, 4.0, size=(B, N, 3))
+    vectors = positions[:, None, :, :] - positions[:, :, None, :]
+    distances = np.linalg.norm(vectors, axis=-1)
+    pair_mask = (distances > 1e-8) & (distances < config.r_max)
+
+    trunk = MaceFeatureExtractor(
+        num_elements=config.resolved_num_elements,
+        hidden_irreps=config.hidden_irreps,
+        num_interactions=config.num_interactions,
+        max_ell=config.max_ell,
+        correlation=config.correlation,
+        r_max=config.r_max,
+        num_bessel=config.num_bessel,
+        avg_num_neighbors=config.avg_num_neighbors,
+        radial_mlp=tuple(config.radial_mlp),
+    )
+    E = config.resolved_num_elements
+    node_attrs = np.eye(E)[rng.integers(0, E, (B, N))]
+    expected = numpy_trunk_forward(
+        state_dict, config, node_attrs, vectors, distances, pair_mask
+    )
+    fresh = trunk.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(node_attrs, dtype=jnp.float32),
+        jnp.asarray(vectors, dtype=jnp.float32),
+        jnp.asarray(distances, dtype=jnp.float32),
+        jnp.asarray(pair_mask),
+    )
+    imported = {
+        "params": jax.tree_util.tree_map(
+            lambda fresh_leaf, new_leaf: jnp.asarray(
+                np.asarray(new_leaf, dtype=np.float32).reshape(
+                    fresh_leaf.shape
+                )
+            ),
+            fresh["params"],
+            trunk_params,
+        )
+    }
+    got = trunk.apply(
+        imported,
+        jnp.asarray(node_attrs, dtype=jnp.float32),
+        jnp.asarray(vectors, dtype=jnp.float32),
+        jnp.asarray(distances, dtype=jnp.float32),
+        jnp.asarray(pair_mask),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), expected, rtol=2e-4, atol=2e-4
     )
 
 
