@@ -9,6 +9,18 @@ sigma <= ``temperature_sigma_max``), but round 2 calibrated its value by a
 per-system sample sweep. This module predicts it from first principles, so a
 new system needs no sweep.
 
+Round-3 measurement (experiments/reheat_si.json): the trained Si 2x2x2
+score's gain alpha(sigma) is 0.97-1.04 across the freeze-out window, so this
+linear recursion predicts an *unbiased* chain (terminal ratio 0.9985) — yet
+the empirical quench needed tau ~ 1.22 (round-2 sweep), and the response to
+tau is itself nonlinear (tau=1.05 left the mean energy unmoved). Conclusion:
+the quench is driven by the learned score's nonlinearity (stiffening beyond
+typical displacements), not by its linear gain or by the schedule. The
+recursion below remains the correct *linear-response diagnostic*; the
+production calibration is the empirical bracketing probe
+(experiments/probe_reheat.py — 3-5 sixty-four-sample runs on the measured
+effective temperature), which this module's window default feeds.
+
 Model: one effective harmonic mode of the data with per-coordinate standard
 deviation ``mode_std`` (fractional units, COM motion removed — the
 energy-carrying internal displacements). Under the VE forward process the

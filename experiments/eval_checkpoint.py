@@ -103,6 +103,8 @@ def evaluate(axl_network, oracle, reference_energies, reference_distances, spec,
             corrector_temperature=spec.get("temperature", 1.0),
             noise_temperature=spec.get("noise_temperature", 1.0),
             temperature_sigma_max=spec.get("sigma_window", float("inf")),
+            adaptive_corrector_max_length_over_sigma=spec.get("adaptive_cap", 4.0),
+            adaptive_corrector_mode_std=spec.get("adaptive_mode_std", 0.0),
             **common,
         )
         cls = (
@@ -211,6 +213,27 @@ SWEEPS = {
          "sigma_window": 0.02, "samples": 256},
         {"name": "w0.02_T1.22_3c_256", "correctors": 3, "noise_temperature": 1.22,
          "sigma_window": 0.02, "samples": 256},
+    ],
+    # VERDICT round-3 #7: the adaptive corrector and the ODE sampler on the
+    # production system. Round 1/2 found both unusable at reference defaults
+    # (+3.5 eV/atom); the adaptive guard (predictor_corrector_axl_generator.py
+    # adaptive_corrector_max_length_over_sigma, mode_std from the Si 2x2x2
+    # data) caps the score-derived step length at a multiple of its
+    # exact-harmonic-score value.
+    "round3_samplers": [
+        {"name": "adaptive_r0.17_guarded", "algorithm": "adaptive_corrector",
+         "correctors": 2, "corrector_r": 0.17, "adaptive_mode_std": 0.0058,
+         "samples": 64},
+        {"name": "adaptive_r0.05_guarded", "algorithm": "adaptive_corrector",
+         "correctors": 2, "corrector_r": 0.05, "adaptive_mode_std": 0.0058,
+         "samples": 64},
+        {"name": "adaptive_r0.17_guard_reheat", "algorithm": "adaptive_corrector",
+         "correctors": 2, "corrector_r": 0.17, "adaptive_mode_std": 0.0058,
+         "noise_temperature": 1.22, "sigma_window": 0.02, "samples": 64},
+        {"name": "adaptive_r0.17_unguarded", "algorithm": "adaptive_corrector",
+         "correctors": 2, "corrector_r": 0.17, "adaptive_cap": 0.0,
+         "samples": 64},
+        {"name": "ode_1000", "algorithm": "ode", "samples": 64},
     ],
 }
 

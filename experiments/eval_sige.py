@@ -30,6 +30,10 @@ def main():
     parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--seed", type=int, default=3)
     parser.add_argument("--prefer", default="last")
+    parser.add_argument("--correctors", type=int, default=3)
+    parser.add_argument("--noise_temperature", type=float, default=1.22,
+                        help="calibrate per system with experiments/probe_reheat.py")
+    parser.add_argument("--temperature_sigma_max", type=float, default=0.02)
     args = parser.parse_args()
 
     import jax
@@ -67,9 +71,9 @@ def main():
             num_atom_types=2,
             number_of_atoms=NATOMS,
             number_of_samples=args.samples,
-            number_of_corrector_steps=3,
-            noise_temperature=1.22,
-            temperature_sigma_max=0.02,
+            number_of_corrector_steps=args.correctors,
+            noise_temperature=args.noise_temperature,
+            temperature_sigma_max=args.temperature_sigma_max,
             use_fixed_lattice_parameters=True,
             cell_dimensions=CELL,
         ),
@@ -109,6 +113,8 @@ def main():
     ks = ks_2samp(energies, reference)
     result = {
         "samples": args.samples,
+        "noise_temperature": args.noise_temperature,
+        "temperature_sigma_max": args.temperature_sigma_max,
         "fraction_correct_stoichiometry": float(np.mean(si_counts == 4)),
         "mean_si_count": float(si_counts.mean()),
         "nearest_neighbor_unlike_fraction": float(ordering),

@@ -1,0 +1,243 @@
+"""Empirical reheat calibration: solve for the windowed noise_temperature.
+
+Round-3 finding (experiments/reheat_si.json): the trained score's *linear*
+gain alpha(sigma) is ~1.00 across the freeze-out window, so the harmonic
+recursion (sampling/reheat_calibration.py) predicts an unbiased chain —
+the observed cold quench (Si 2x2x2: effective ~250 K from 300 K data) is a
+*nonlinear* property of the learned score, and the ensemble's response to
+the reheat knob tau is itself nonlinear (round 2: tau=1.05 left the mean
+energy unmoved, tau=1.20 restored it). Neither the schedule nor a one-shot
+linear extrapolation can predict tau.
+
+What does work: measure it. One 64-sample run gives the effective
+temperature to a few percent (the mean energy is 25x less noisy than the
+n=64 KS statistic), so a bracketing secant search over tau converges in
+3-5 sampling runs — versus the full two-dimensional (tau, window) sweeps of
+round 2. The effective temperature is read off the harmonic estimator
+
+    T_eff / T_data = (E_mean(tau) - E_relaxed) / (E_mean(data) - E_relaxed),
+
+with E_relaxed the oracle energy of the per-atom mean-site (ideal) structure
+— equipartition makes the mean potential energy above the minimum linear in
+T for a near-harmonic crystal at 300 K.
+
+The window stays at the schedule-derived default 3.5 x mode_std
+(sampling/reheat_calibration.py; the empirically stable 0.02 for Si 2x2x2).
+
+Usage (Si 2x2x2 validation — expect tau ~ 1.2, the round-2 sweep optimum):
+    python experiments/probe_reheat.py \
+        --checkpoint experiments/si_2x2x2_round2_checkpoint --prefer last \
+        --data data/si_diffusion_2x2x2 --elements Si --sw Si.sw \
+        --cell 10.86 10.86 10.86 --natoms 64 --steps 1000 --correctors 3 \
+        --out experiments/reheat_probe_si.json
+
+The reference has no counterpart (its sampler runs fixed reference-default
+temperatures: src/diffusion_for_multi_scale_molecular_dynamics/generators/
+langevin_generator.py); this automates a beyond-reference fidelity knob.
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_generator(args, axl_network, tau, window, num_atom_types):
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.generators import (
+        LangevinGenerator,
+        PredictorCorrectorSamplingParameters,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.noise_schedulers import (
+        NoiseParameters,
+    )
+
+    return LangevinGenerator(
+        NoiseParameters(
+            total_time_steps=args.steps,
+            schedule_type="linear",
+            sigma_min=args.sigma_min,
+            sigma_max=args.sigma_max,
+            corrector_step_epsilon=args.epsilon,
+        ),
+        PredictorCorrectorSamplingParameters(
+            num_atom_types=num_atom_types,
+            number_of_atoms=args.natoms,
+            number_of_samples=args.samples,
+            number_of_corrector_steps=args.correctors,
+            noise_temperature=tau,
+            temperature_sigma_max=window,
+            use_fixed_lattice_parameters=True,
+            cell_dimensions=list(args.cell),
+        ),
+        axl_network,
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--prefer", default="last")
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--elements", nargs="+", default=["Si"])
+    parser.add_argument("--sw", default="Si.sw")
+    parser.add_argument("--cell", type=float, nargs="+", default=[10.86] * 3)
+    parser.add_argument("--natoms", type=int, default=64)
+    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--sigma_min", type=float, default=1e-4)
+    parser.add_argument("--sigma_max", type=float, default=0.2)
+    parser.add_argument("--epsilon", type=float, default=2.5e-8)
+    parser.add_argument("--correctors", type=int, default=3)
+    parser.add_argument("--samples", type=int, default=64)
+    parser.add_argument("--window", type=float, default=None,
+                        help="temperature_sigma_max; default 3.5 x mode_std")
+    parser.add_argument("--tau_max", type=float, default=2.0)
+    parser.add_argument("--tolerance", type=float, default=0.04,
+                        help="stop when |T_eff/T_data - 1| is below this")
+    parser.add_argument("--max_probes", type=int, default=6)
+    parser.add_argument("--seed", type=int, default=7)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import pandas as pd
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.namespace import AXL
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.oracle.energy_oracle_factory import (
+        resolve_sw_coefficients_path,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.oracle.stillinger_weber import (
+        StillingerWeberOracle,
+        StillingerWeberParameters,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.sampling.reheat_calibration import (
+        measured_mode_std,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.restore import (
+        load_axl_network_from_checkpoint,
+    )
+
+    enable_persistent_compilation_cache()
+
+    # --- data side: mean energy, relaxed (mean-site) energy, mode_std ---
+    paths = sorted(glob.glob(os.path.join(args.data, "valid_run_*.parquet")))
+    tables = [pd.read_parquet(p) for p in paths]
+    data_energies = np.concatenate(
+        [t["potential_energy"].to_numpy() for t in tables]
+    )
+    frame_table = tables[0]
+    coordinates = np.stack(
+        [np.asarray(row).reshape(-1, 3) for row in frame_table["relative_coordinates"]]
+    )
+    elements = frame_table["element"].iloc[0]
+    unique = sorted(set(elements))
+    atom_types = np.asarray([unique.index(e) for e in elements], np.int32)
+    mode_std = measured_mode_std(coordinates)
+    window = args.window if args.window is not None else 3.5 * mode_std
+
+    oracle = StillingerWeberOracle(
+        StillingerWeberParameters(
+            name="stillinger_weber",
+            sw_coeff_filename=resolve_sw_coefficients_path(args.sw),
+            elements=list(args.elements),
+        )
+    )
+    lattice = np.asarray(list(args.cell) + [0.0] * 3, np.float32)
+
+    angles = np.exp(2j * np.pi * coordinates.astype(np.float64))
+    mean_site = (np.angle(angles.mean(axis=0)) / (2.0 * np.pi)) % 1.0
+    ideal = AXL(
+        A=atom_types[None],
+        X=mean_site[None].astype(np.float32),
+        L=lattice[None],
+    )
+    e_relaxed = float(
+        np.asarray(oracle.compute_oracle_energies_and_forces(ideal)[0])[0]
+    )
+    e_data = float(data_energies.mean())
+    print(
+        f"mode_std={mode_std:.5f} window={window:.4f} "
+        f"E_data={e_data:.4f} E_relaxed={e_relaxed:.4f}",
+        flush=True,
+    )
+    assert e_data > e_relaxed, "data mean energy must sit above the relaxed minimum"
+
+    axl_network = load_axl_network_from_checkpoint(args.checkpoint, prefer=args.prefer)
+    num_atom_types = len(args.elements)
+
+    key = jax.random.PRNGKey(args.seed)
+    probes = []
+
+    def t_ratio(tau):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        generator = build_generator(args, axl_network, tau, window, num_atom_types)
+        samples = generator.sample(sub, args.samples)
+        energies = np.asarray(
+            oracle.compute_oracle_energies_and_forces(samples)[0]
+        )
+        ratio = (energies.mean() - e_relaxed) / (e_data - e_relaxed)
+        probe = {
+            "tau": float(tau),
+            "energy_mean": float(energies.mean()),
+            "energy_std": float(energies.std()),
+            "t_eff_over_t_data": float(ratio),
+        }
+        probes.append(probe)
+        print(json.dumps(probe), flush=True)
+        return float(ratio)
+
+    # --- bracket, then regula falsi on T_eff(tau) - 1 ---
+    lo_tau, lo_r = 1.0, t_ratio(1.0)
+    best = (lo_tau, lo_r)
+    if abs(lo_r - 1.0) > args.tolerance:
+        hi_tau, hi_r = lo_tau, lo_r
+        while hi_r < 1.0 and hi_tau < args.tau_max and len(probes) < args.max_probes:
+            hi_tau = min(hi_tau * 1.3, args.tau_max)
+            hi_r = t_ratio(hi_tau)
+        if abs(hi_r - 1.0) < abs(best[1] - 1.0):
+            best = (hi_tau, hi_r)
+        while (
+            abs(best[1] - 1.0) > args.tolerance
+            and len(probes) < args.max_probes
+            and hi_r > 1.0 > lo_r
+        ):
+            mid_tau = lo_tau + (1.0 - lo_r) * (hi_tau - lo_tau) / (hi_r - lo_r)
+            # Keep the secant point strictly inside the bracket.
+            mid_tau = min(max(mid_tau, lo_tau + 0.02), hi_tau - 0.02)
+            mid_r = t_ratio(mid_tau)
+            if abs(mid_r - 1.0) < abs(best[1] - 1.0):
+                best = (mid_tau, mid_r)
+            if mid_r < 1.0:
+                lo_tau, lo_r = mid_tau, mid_r
+            else:
+                hi_tau, hi_r = mid_tau, mid_r
+
+    result = {
+        "checkpoint": args.checkpoint,
+        "prefer": args.prefer,
+        "correctors": args.correctors,
+        "samples_per_probe": args.samples,
+        "mode_std": mode_std,
+        "temperature_sigma_max": float(window),
+        "energy_mean_data": e_data,
+        "energy_relaxed": e_relaxed,
+        "probes": probes,
+        "noise_temperature": float(best[0]),
+        "final_t_eff_over_t_data": float(best[1]),
+    }
+    print(json.dumps(result, indent=1), flush=True)
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
