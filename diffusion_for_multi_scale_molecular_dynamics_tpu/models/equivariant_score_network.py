@@ -58,6 +58,10 @@ class EquivariantScoreNetworkConfig(ScoreNetworkConfig):
     max_ell: int = 1
     # bfloat16 for the channel-mixing matmuls; geometry stays float32.
     compute_dtype: str = "float32"
+    # Periodic-image shells for the pair grid (offsets in {-s..s}^d). s=1 is
+    # exact whenever radial_cutoff < box length; s=0 = single min-image pair
+    # per atom pair, (2s+1)^d cheaper, exact only when box > 2 x cutoff.
+    image_shells: int = 1
     # Score prediction head: "equivariant" (gated vector combination) or
     # "mlp" (plain MLP on invariant features — like the reference's MLP
     # MaceScorePredictionHead, score_prediction_head.py:61, it trades exact
@@ -105,15 +109,33 @@ class EquivariantScoreNetwork(nn.Module):
         batch_size, n, d = x.shape
         channels = cfg.num_features
 
-        # Periodic geometry on the (collapse-guarded) cell, like the
-        # reference's r_max clip (diffusion_mace_score_network.py:144).
-        lattice = jnp.clip(composition.L, min=2.2 * cfg.radial_cutoff)
+        # True-geometry pair grid over (2s+1)^d periodic images, flattened
+        # into the source axis (J = N * K, source atom = pair index // K).
+        # The reference instead clips the box to 2.2 x r_max
+        # (diffusion_mace_score_network.py:144), which distorts any smaller
+        # cell — for Si 1x1x1 it pushes the first shell to the edge of the
+        # cutoff envelope and blinds the network. image_shells=0 recovers
+        # the cheap single min-image path (exact when box > 2 x cutoff).
+        lattice = jnp.clip(composition.L, min=1e-3)  # degenerate-cell guard
         lattice = lattice.at[:, d:].set(0.0)
         cell = map_lattice_parameters_to_unit_cell_vectors(lattice)
+        lengths = jnp.diagonal(cell, axis1=-2, axis2=-1)  # [B, d]
 
-        # Minimum-image displacements, directly in fractional space (the box
-        # exceeds 2 x cutoff by construction; no 3^d image expansion).
-        disp = get_orthogonal_min_image_displacements(x, cell)  # [B, N, N, d]
+        shells = int(cfg.image_shells)
+        if shells > 0:
+            offsets = jnp.stack(
+                jnp.meshgrid(*([jnp.arange(-shells, shells + 1)] * d),
+                             indexing="ij"),
+                axis=-1,
+            ).reshape(-1, d)  # [K, d]
+            n_images = offsets.shape[0]
+            delta = x[:, None, :, :] - x[:, :, None, :]
+            delta = delta - jnp.round(delta)
+            frac = delta[:, :, :, None, :] + offsets[None, None, None, :, :]
+            disp = frac * lengths[:, None, None, None, :]
+            disp = disp.reshape(batch_size, n, n * n_images, d)
+        else:
+            disp = get_orthogonal_min_image_displacements(x, cell)  # [B,N,N,d]
         r2 = jnp.sum(disp**2, axis=-1)
         nonzero = r2 > 1e-12
         r_ij = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
@@ -121,7 +143,10 @@ class EquivariantScoreNetwork(nn.Module):
         within = (r_ij <= cfg.radial_cutoff) & nonzero
         atom_mask = batch.get(ATOM_MASK)
         if atom_mask is not None:
-            within = within & atom_mask[:, :, None] & atom_mask[:, None, :]
+            source_mask = atom_mask[:, None, :]
+            if shells > 0:
+                source_mask = jnp.repeat(source_mask, n_images, axis=2)
+            within = within & atom_mask[:, :, None] & source_mask
         edge_mask = within.astype(jnp.float32)
 
         safe_r = jnp.where(r_ij > 1e-8, r_ij, 1.0)
@@ -193,6 +218,14 @@ class EquivariantScoreNetwork(nn.Module):
         channels = cfg.num_features
         n_gates = 3 if cfg.max_ell == 1 else 7
 
+        # Pair (source) axis J = N * K with K periodic images per source
+        # atom; source tensors repeat K times along it (see __call__).
+        n_atoms = s.shape[1]
+        k_images = rbf.shape[2] // n_atoms
+
+        def per_source(a):
+            return jnp.repeat(a, k_images, axis=1) if k_images > 1 else a
+
         h = nn.Dense(channels, dtype=dtype, name=f"{name}_phi0")(s.astype(dtype))
         h = nn.silu(h)
         h = nn.Dense(n_gates * channels, dtype=dtype, name=f"{name}_phi1")(h)
@@ -200,26 +233,28 @@ class EquivariantScoreNetwork(nn.Module):
             n_gates * channels, dtype=dtype, name=f"{name}_filter"
         )(rbf.astype(dtype))
 
-        # Per-pair gated source features: [B, N(target), N(source), GC].
-        pair = (h[:, None, :, :] * filters).astype(jnp.float32)
+        # Per-pair gated source features: [B, N(target), J(source), GC].
+        pair = (per_source(h)[:, None, :, :] * filters).astype(jnp.float32)
         pair = pair * edge_mask[..., None]
         gates = jnp.split(pair, n_gates, axis=-1)
         gate_s, gate_vv, gate_vs = gates[:3]
 
         ds = jnp.sum(gate_s, axis=2)
         # Vector message: neighbor vectors + radial direction, both gated.
-        dv = jnp.einsum("bjdc,bijc->bidc", v, gate_vv) + jnp.einsum(
+        dv = jnp.einsum("bjdc,bijc->bidc", per_source(v), gate_vv) + jnp.einsum(
             "bijd,bijc->bidc", unit, gate_vs
         )
         dt = None
         if cfg.max_ell >= 2:
             gate_tt, gate_ty, gate_vt, gate_st = gates[3:]
             # t <- neighbor tensors and the edge l=2 basis.
-            dt = jnp.einsum("bjpqc,bijc->bipqc", t, gate_tt) + jnp.einsum(
-                "bijpq,bijc->bipqc", y2, gate_ty
-            )
+            dt = jnp.einsum(
+                "bjpqc,bijc->bipqc", per_source(t), gate_tt
+            ) + jnp.einsum("bijpq,bijc->bipqc", y2, gate_ty)
             # v <- (t_j . r^): rank-2 x rank-1 -> rank-1.
-            tensor_dot_unit = jnp.einsum("bjpqc,bijq->bijpc", t, unit)
+            tensor_dot_unit = jnp.einsum(
+                "bjpqc,bijq->bijpc", per_source(t), unit
+            )
             dv = dv + jnp.einsum("bijpc,bijc->bipc", tensor_dot_unit, gate_vt)
             # s <- r^T t_j r^: full contraction -> invariant.
             quadrupole_projection = jnp.einsum(

@@ -260,7 +260,12 @@ class MaceInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, node_feats, node_attrs, harmonics, distances, pair_mask):
-        """node_feats [B,N,Din]; harmonics [B,N,N,(lmax+1)^2]; pair_mask [B,N,N]."""
+        """node_feats [B,N,Din]; harmonics [B,N,J,(lmax+1)^2]; pair_mask [B,N,J].
+
+        The pair (source) axis J is either N (one min-image pair per atom
+        pair) or N*K with K periodic images per source atom, flattened so
+        that pair index j*K + k is image k of source atom j.
+        """
         irreps_in = Irreps(self.irreps_in)
         irreps_target = Irreps(self.irreps_target)
         paths = tensor_product_paths(irreps_in, self.lmax_sh, irreps_target)
@@ -283,10 +288,17 @@ class MaceInteraction(nn.Module):
         # masking the weights is what zeroes those messages.
         tp_weights = tp_weights * pair_mask[..., None].astype(tp_weights.dtype)
 
-        # Messages m_ij from source features j coupled with Y(r_ij).
+        # Messages m_ij from source features j coupled with Y(r_ij). With
+        # K > 1 periodic images the source features repeat K times along the
+        # flattened pair axis (pair j*K + k <- atom j).
+        natoms = feats_up.shape[1]
+        n_images = distances.shape[2] // natoms
+        sources = (
+            jnp.repeat(feats_up, n_images, axis=1) if n_images > 1 else feats_up
+        )
         source_feats = jnp.broadcast_to(
-            feats_up[:, None, :, :],
-            feats_up.shape[:1] + (feats_up.shape[1],) + feats_up.shape[1:],
+            sources[:, None, :, :],
+            sources.shape[:1] + (natoms,) + sources.shape[1:],
         )
         messages = weighted_tensor_product(
             source_feats,
@@ -341,10 +353,12 @@ class MaceFeatureExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, node_attrs, vectors, distances, pair_mask, conditioning=None):
-        """node_attrs [B,N,E] one-hot; vectors/distances: min-image pair data.
+        """node_attrs [B,N,E] one-hot; vectors/distances: pair data.
 
-        vectors [B,N,N,3] (Cartesian), distances [B,N,N], pair_mask [B,N,N]
-        true for real pairs within the cutoff. ``conditioning`` ([B,N,S]
+        vectors [B,N,J,3] (Cartesian), distances [B,N,J], pair_mask [B,N,J]
+        true for real pairs within the cutoff, where J is N (min-image) or
+        N*K (K periodic images per source atom, see MaceInteraction).
+        ``conditioning`` ([B,N,S]
         invariant scalars, optional) is mixed into the initial node features
         — the reference DiffusionMACE's sigma conditioning
         (diffusion_mace.py:218); plain MACE passes None (and stays

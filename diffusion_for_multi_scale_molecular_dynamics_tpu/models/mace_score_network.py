@@ -89,6 +89,16 @@ class MaceScoreNetworkConfig(ScoreNetworkConfig):
     condition_on_sigma: bool = False
     sigma_embedding_size: int = 16
     compute_dtype: str = "float32"
+    # Periodic-image shells for the pair grid: offsets in {-s..s}^d, so the
+    # trunk sees every image of every neighbor within r_max. s=1 is exact
+    # whenever r_max < box length; s=0 falls back to single min-image pairs
+    # (exact only when the box exceeds 2 x r_max — cheaper by (2s+1)^d, use
+    # it for large cells). The reference instead *clips* the box to
+    # >= 2.2 r_max (mace_score_network.py:170-175), which silently distorts
+    # the geometry of any cell smaller than that: for Si 1x1x1 (5.43 A,
+    # r_max 4.5) the first neighbor shell lands at r/r_max = 0.95 where the
+    # polynomial cutoff envelope is ~0 and the trunk goes geometry-blind.
+    image_shells: int = 1
 
     def __post_init__(self):
         assert self.prediction_head in ("mlp", "equivariant")
@@ -201,21 +211,41 @@ class MaceScoreNetwork(nn.Module):
         x = composition.X
         batch_size, natoms, d = x.shape
 
-        # Collapse-guarded cell, as the reference clips the box to
-        # >= 2.2 r_max (mace_score_network.py:170-175); with that guarantee
-        # minimum-image displacements are exact (no 3^d image expansion).
-        lattice = jnp.clip(composition.L, min=2.2 * cfg.r_max)
+        # True-geometry pair grid over (2s+1)^d periodic images. Unlike the
+        # reference's box clip to >= 2.2 r_max (mace_score_network.py:170-175)
+        # — which distorts any smaller cell — the real cell is kept and each
+        # neighbor image within the cutoff becomes its own pair, flattened
+        # into the source axis (J = N * K, source atom = index // K).
+        lattice = jnp.clip(composition.L, min=1e-3)  # degenerate-cell guard
         lattice = lattice.at[:, d:].set(0.0)
         cell = map_lattice_parameters_to_unit_cell_vectors(lattice)
+        lengths = jnp.diagonal(cell, axis1=-2, axis2=-1)  # [B, d]
 
-        disp = get_orthogonal_min_image_displacements(x, cell)  # [B,N,N,d]
+        shells = int(cfg.image_shells)
+        if shells > 0:
+            offsets = jnp.stack(
+                jnp.meshgrid(*([jnp.arange(-shells, shells + 1)] * d),
+                             indexing="ij"),
+                axis=-1,
+            ).reshape(-1, d)  # [K, d]
+            n_images = offsets.shape[0]
+            delta = x[:, None, :, :] - x[:, :, None, :]  # [B,N,N,d], no wrap
+            delta = delta - jnp.round(delta)  # principal image in [-1/2,1/2)
+            frac = delta[:, :, :, None, :] + offsets[None, None, None, :, :]
+            disp = frac * lengths[:, None, None, None, :]
+            disp = disp.reshape(batch_size, natoms, natoms * n_images, d)
+        else:
+            disp = get_orthogonal_min_image_displacements(x, cell)  # [B,N,N,d]
         r2 = jnp.sum(disp**2, axis=-1)
         nonzero = r2 > 1e-12
         distances = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
         pair_mask = (distances <= cfg.r_max) & nonzero
         atom_mask = batch.get(ATOM_MASK)
         if atom_mask is not None:
-            pair_mask = pair_mask & atom_mask[:, :, None] & atom_mask[:, None, :]
+            source_mask = atom_mask[:, None, :]
+            if shells > 0:
+                source_mask = jnp.repeat(source_mask, n_images, axis=2)
+            pair_mask = pair_mask & atom_mask[:, :, None] & source_mask
 
         if cfg.element_z_numbers is not None:
             assert len(cfg.element_z_numbers) == cfg.num_atom_types

@@ -247,7 +247,15 @@ def main(argv=None):
     parser.add_argument("--prefer", default="best")
     parser.add_argument("--output", default=None)
     parser.add_argument("--seed", type=int, default=777)
+    parser.add_argument("--natoms", type=int, default=64,
+                        help="atoms per sample (64 = Si 2x2x2, 216 = 3x3x3)")
+    parser.add_argument("--cell", type=float, nargs=3,
+                        default=[10.86, 10.86, 10.86])
     args = parser.parse_args(argv)
+
+    global NATOMS, CELL
+    NATOMS = args.natoms
+    CELL = list(args.cell)
 
     import jax
 
