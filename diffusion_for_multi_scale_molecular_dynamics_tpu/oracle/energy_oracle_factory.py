@@ -32,7 +32,17 @@ def resolve_sw_coefficients_path(filename: str) -> str:
 def create_energy_oracle_parameters(
     oracle_config: Dict[str, Any], elements: List[str]
 ) -> OracleParameters:
+    """Build oracle parameters from the config dict and element list.
+
+    The oracle's species table follows its ``elements`` list order, while
+    atom-type ids everywhere else in the framework follow the
+    sorted-element convention of ``ElementTypes`` (data/element_types.py).
+    The config's raw element list is therefore sorted here — passing it
+    through unsorted silently swaps species in every energy evaluation of a
+    multi-species system (e.g. SiGe with ``elements: [Si, Ge]``).
+    """
     cfg = dict(oracle_config)
+    elements = sorted(elements)
     name = cfg.pop("name")
     if name in ("stillinger_weber", "lammps_sw", "lammps"):
         # "lammps" historically meant the SW potential through LAMMPS; the

@@ -94,11 +94,13 @@ def main():
     unlike = types[:, :, None] != types[:, None, :]
     ordering = (near & unlike).sum() / max(near.sum(), 1)
 
+    # Oracle species follow the list order; ids are ElementTypes-sorted
+    # (Ge = 0, Si = 1) so the list must be sorted too.
     oracle = StillingerWeberOracle(
         StillingerWeberParameters(
             name="stillinger_weber",
             sw_coeff_filename=resolve_sw_coefficients_path("SiGe.sw"),
-            elements=["Si", "Ge"],
+            elements=["Ge", "Si"],
         )
     )
     energies, _ = oracle.compute_oracle_energies_and_forces(samples)

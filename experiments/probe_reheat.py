@@ -142,11 +142,13 @@ def main(argv=None):
     mode_std = measured_mode_std(coordinates)
     window = args.window if args.window is not None else 3.5 * mode_std
 
+    # Oracle species follow the list order; atom-type ids (both the data's
+    # and the sampler's) follow the ElementTypes sorted convention.
     oracle = StillingerWeberOracle(
         StillingerWeberParameters(
             name="stillinger_weber",
             sw_coeff_filename=resolve_sw_coefficients_path(args.sw),
-            elements=list(args.elements),
+            elements=sorted(args.elements),
         )
     )
     lattice = np.asarray(list(args.cell) + [0.0] * 3, np.float32)

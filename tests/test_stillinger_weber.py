@@ -225,3 +225,14 @@ def test_oracle_factory_and_axl_interface():
     assert energies.shape == (2,)
     assert forces.shape == (2, 8, 3)
     np.testing.assert_allclose(energies[0], energies[1], rtol=1e-6)
+
+
+def test_oracle_factory_sorts_elements_to_match_atom_type_ids():
+    """Atom-type ids follow ElementTypes' sorted convention (Ge=0, Si=1);
+    the factory must sort the raw config element list or every SiGe energy
+    evaluation swaps species."""
+    params = create_energy_oracle_parameters(
+        dict(name="stillinger_weber", sw_coeff_filename="SiGe.sw"),
+        elements=["Si", "Ge"],
+    )
+    assert list(params.elements) == ["Ge", "Si"]
