@@ -96,6 +96,17 @@ def evaluate(axl_network, oracle, reference_energies, reference_distances, spec,
             ODESamplingParameters(algorithm="ode", **common),
             axl_network,
         )
+    elif algorithm == "sde":
+        from diffusion_for_multi_scale_molecular_dynamics_tpu.generators.sde_position_generator import (
+            ExplodingVarianceSDEPositionGenerator,
+            SDESamplingParameters,
+        )
+
+        generator = ExplodingVarianceSDEPositionGenerator(
+            noise_parameters,
+            SDESamplingParameters(algorithm="sde", **common),
+            axl_network,
+        )
     else:
         sampling_parameters = PredictorCorrectorSamplingParameters(
             algorithm=algorithm,
@@ -234,6 +245,12 @@ SWEEPS = {
          "correctors": 2, "corrector_r": 0.17, "adaptive_cap": 0.0,
          "samples": 64},
         {"name": "ode_1000", "algorithm": "ode", "samples": 64},
+        {"name": "sde_1000", "algorithm": "sde", "samples": 64},
+    ],
+    # Parameterized from the CLI (--noise_temperature/--sigma_window/...);
+    # the single entry the reheat-probe -> final-eval chain fills in.
+    "custom": [
+        {"name": "custom", "samples": 64},
     ],
 }
 
@@ -251,6 +268,13 @@ def main(argv=None):
                         help="atoms per sample (64 = Si 2x2x2, 216 = 3x3x3)")
     parser.add_argument("--cell", type=float, nargs=3,
                         default=[10.86, 10.86, 10.86])
+    # Sweep-entry overrides, applied to every entry of the selected sweep
+    # (used with --sweep custom by the probe -> eval chains).
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--samples", type=int, default=None)
+    parser.add_argument("--correctors", type=int, default=None)
+    parser.add_argument("--noise_temperature", type=float, default=None)
+    parser.add_argument("--sigma_window", type=float, default=None)
     args = parser.parse_args(argv)
 
     global NATOMS, CELL
@@ -289,6 +313,23 @@ def main(argv=None):
     if args.entries:
         wanted = set(args.entries.split(","))
         sweep = [spec for spec in sweep if spec["name"] in wanted]
+    overrides = {
+        key: value
+        for key, value in (
+            ("steps", args.steps),
+            ("samples", args.samples),
+            ("correctors", args.correctors),
+            ("noise_temperature", args.noise_temperature),
+            ("sigma_window", args.sigma_window),
+        )
+        if value is not None
+    }
+    if overrides:
+        sweep = [{**spec, **overrides} for spec in sweep]
+        tag = "_".join(f"{k}={v}" for k, v in sorted(overrides.items()))
+        sweep = [
+            {**spec, "name": f"{spec['name']}[{tag}]"} for spec in sweep
+        ]
 
     output_path = args.output or os.path.join(
         args.checkpoint, f"eval_{args.sweep}.json"
