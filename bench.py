@@ -281,6 +281,10 @@ def main():
             throughput / reference["samples_per_s"], 1
         )
         result["reference_cpu_samples_per_s"] = reference["samples_per_s"]
+        # The caveat belongs next to every vs_reference_cpu quote: the torch
+        # replica ran on this 1-core host with the recorded thread count.
+        result["reference_cpu_torch_threads"] = reference.get("torch_threads")
+        result["reference_cpu_count"] = os.cpu_count()
 
     flops = analytic_flops_per_trajectory()
     if flops is not None:
