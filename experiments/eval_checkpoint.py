@@ -294,6 +294,12 @@ def main(argv=None):
         load_axl_network_from_checkpoint,
     )
 
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     axl_network = load_axl_network_from_checkpoint(args.checkpoint, prefer=args.prefer)
     oracle = StillingerWeberOracle(
         StillingerWeberParameters(

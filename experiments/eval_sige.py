@@ -58,6 +58,12 @@ def main():
         load_axl_network_from_checkpoint,
     )
 
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     axl_network = load_axl_network_from_checkpoint(args.checkpoint, prefer=args.prefer)
     generator = LangevinGenerator(
         NoiseParameters(
