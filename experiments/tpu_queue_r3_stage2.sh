@@ -63,13 +63,24 @@ run_job eval_si3 \
   --noise_temperature "${SI3_TAU}" --sigma_window "${SI3_WIN}" \
   --output experiments/si_3x3x3_eval.json
 
-# 3. MACE checkpoint eval on Si 1x1x1 (VERDICT #4): KS + overlap check,
-#    with and without the reheat knob.
+# 3. MACE checkpoint eval on Si 1x1x1 (VERDICT #4): reheat probe, then a
+#    256-sample KS + overlap check at the calibrated temperature.
+run_job reheat_probe_mace \
+  python experiments/probe_reheat.py \
+  --checkpoint out/mace_si_1x1x1_r3b --prefer last \
+  --data data/si_diffusion_1x1x1 --elements Si --sw Si.sw \
+  --cell 5.43 5.43 5.43 --natoms 8 --steps 500 --correctors 3 \
+  --out experiments/reheat_probe_mace.json
+
+MACE_TAU=$(python -c "import json;print(json.load(open('experiments/reheat_probe_mace.json'))['noise_temperature'])" 2>/dev/null || echo 1.0)
+MACE_WIN=$(python -c "import json;print(json.load(open('experiments/reheat_probe_mace.json'))['temperature_sigma_max'])" 2>/dev/null || echo 0.02)
+
 run_job eval_mace_r3 \
   python experiments/eval_checkpoint.py \
   --checkpoint out/mace_si_1x1x1_r3b --prefer last --sweep custom \
   --natoms 8 --cell 5.43 5.43 5.43 --steps 500 \
   --data data/si_diffusion_1x1x1 --samples 256 --correctors 3 \
+  --noise_temperature "${MACE_TAU}" --sigma_window "${MACE_WIN}" \
   --output experiments/mace_si_1x1x1_eval.json
 
 # 4. Alternative samplers on the shipped Si 2x2x2 checkpoint (VERDICT #7).
