@@ -280,3 +280,69 @@ def test_l2_trains_on_si_1x1x1():
     early = np.mean(losses[:5])
     late = np.mean(losses[-5:])
     assert late < 0.8 * early, f"no learning: first5={early:.4f} last5={late:.4f}"
+
+
+def test_supercell_consistency():
+    """Per-atom Cartesian scores are invariant under cell duplication.
+
+    Duplicating the cell along x preserves every atom's local environment,
+    so the per-atom Cartesian scores (out.X is the fractional covector,
+    cell @ s_cart, so divide by the axis lengths) must match between the
+    8-atom cell and the 16-atom supercell. The reference's box clip to
+    2.2 x r_max (diffusion_mace_score_network.py:144) fails this whenever
+    the cell is smaller than that; the image-expanded pair grid passes.
+    """
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.namespace import (
+        AXL,
+        CARTESIAN_FORCES,
+        NOISE,
+        TIME,
+    )
+
+    cfg = EquivariantScoreNetworkConfig(
+        num_atom_types=NUM_TYPES,
+        num_features=16,
+        number_of_interactions=2,
+        radial_cutoff=4.5,  # > cell/2: min-image alone is wrong here
+        max_ell=2,
+    )
+    net = EquivariantScoreNetwork(cfg)
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    n = 8
+    x = jax.random.uniform(k1, (1, n, 3))
+    a = jax.random.randint(k2, (1, n), 0, NUM_TYPES)
+
+    def batch_of(x_, a_, lengths):
+        lattice = jnp.asarray([list(lengths) + [0.0, 0.0, 0.0]])
+        return {
+            NOISY_AXL_COMPOSITION: AXL(A=a_, X=x_, L=lattice),
+            TIME: jnp.full((1, 1), 0.4),
+            NOISE: jnp.full((1, 1), 0.1),
+            CARTESIAN_FORCES: jnp.zeros_like(x_),
+        }
+
+    small = batch_of(x, a, (5.43, 5.43, 5.43))
+    x_half = x * jnp.array([0.5, 1.0, 1.0])
+    x_super = jnp.concatenate(
+        [x_half, x_half + jnp.array([0.5, 0.0, 0.0])], axis=1
+    )
+    a_super = jnp.concatenate([a, a], axis=1)
+    sup = batch_of(x_super, a_super, (10.86, 5.43, 5.43))
+
+    params = net.init(jax.random.PRNGKey(0), small, False)
+    out_small = net.apply(params, small, False)
+    out_super = net.apply(params, sup, False)
+
+    cart_small = np.asarray(out_small.X) / np.array([5.43, 5.43, 5.43])
+    cart_super = np.asarray(out_super.X) / np.array([10.86, 5.43, 5.43])
+    assert np.abs(cart_small).max() > 1e-3, "trivially zero scores"
+    for copy in (slice(0, n), slice(n, 2 * n)):
+        np.testing.assert_allclose(
+            cart_super[:, copy], cart_small, atol=5e-4, rtol=1e-3
+        )
+    logits_small = np.asarray(out_small.A)
+    logits_super = np.asarray(out_super.A)
+    np.testing.assert_allclose(
+        logits_super[:, :n, :-1], logits_small[..., :-1], atol=5e-4, rtol=1e-3
+    )

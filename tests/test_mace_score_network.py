@@ -324,3 +324,58 @@ class TestSymmetricContraction:
         out0 = module.apply(params, a, e0)
         out1 = module.apply(params, a, e1)
         assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+
+def test_mace_supercell_consistency():
+    """Per-atom Cartesian scores are invariant under cell duplication.
+
+    Same physics check as the equivariant net's test: duplicating the cell
+    along x preserves local environments, so per-atom Cartesian scores
+    (out.X = cell @ s_cart; divide by axis lengths) must agree between the
+    8-atom cell and its 16-atom supercell. Exercises the image-expanded
+    pair grid at r_max > cell/2 where min-image pairs alone are wrong
+    (the reference instead clips the box, mace_score_network.py:170-175).
+    """
+    cfg = MaceScoreNetworkConfig(
+        num_atom_types=1,
+        hidden_irreps="4x0e + 4x1o",
+        max_ell=2,
+        correlation=2,
+        r_max=4.5,
+        num_interactions=2,
+        condition_on_sigma=True,
+    )
+    net = MaceScoreNetwork(cfg)
+    key = jax.random.PRNGKey(5)
+    n = 8
+    x = jax.random.uniform(key, (1, n, 3))
+    a = jnp.zeros((1, n), jnp.int32)
+
+    def batch_of(x_, a_, lengths):
+        lattice = jnp.asarray([list(lengths) + [0.0, 0.0, 0.0]])
+        return {
+            NOISY_AXL_COMPOSITION: AXL(A=a_, X=x_, L=lattice),
+            TIME: jnp.full((1, 1), 0.4),
+            NOISE: jnp.full((1, 1), 0.1),
+            ATOM_MASK: jnp.ones_like(a_, dtype=bool),
+        }
+
+    small = batch_of(x, a, (5.43, 5.43, 5.43))
+    x_half = x * jnp.array([0.5, 1.0, 1.0])
+    x_super = jnp.concatenate(
+        [x_half, x_half + jnp.array([0.5, 0.0, 0.0])], axis=1
+    )
+    a_super = jnp.concatenate([a, a], axis=1)
+    sup = batch_of(x_super, a_super, (10.86, 5.43, 5.43))
+
+    params = net.init(jax.random.PRNGKey(0), small, False)
+    out_small = net.apply(params, small, False)
+    out_super = net.apply(params, sup, False)
+
+    cart_small = np.asarray(out_small.X) / np.array([5.43, 5.43, 5.43])
+    cart_super = np.asarray(out_super.X) / np.array([10.86, 5.43, 5.43])
+    assert np.abs(cart_small).max() > 1e-4, "trivially zero scores"
+    for copy in (slice(0, n), slice(n, 2 * n)):
+        np.testing.assert_allclose(
+            cart_super[:, copy], cart_small, atol=5e-4, rtol=1e-3
+        )
