@@ -26,10 +26,17 @@ run_with_retry() {
   echo "[queue] ${name} done" >> out/queue.log
 }
 
-echo "[queue] waiting for running trainings: $(cat /tmp/sige_train.pid 2>/dev/null) $(cat /tmp/si3_train.pid 2>/dev/null)" > out/queue.log
-[ -f /tmp/si3_train.pid ] && wait_pid "$(cat /tmp/si3_train.pid)"
+echo "[queue] waiting for running sige training: $(cat /tmp/sige_train.pid 2>/dev/null)" > out/queue.log
 [ -f /tmp/sige_train.pid ] && wait_pid "$(cat /tmp/sige_train.pid)"
-echo "[queue] trainings finished at $(date)" >> out/queue.log
+echo "[queue] sige finished at $(date)" >> out/queue.log
+sleep 120  # let the axon worker release the previous client session
+
+# 0. Si 3x3x3 training, solo on the device (a second concurrent axon client
+#    wedges after a worker restart); resumes from the epoch-9 checkpoint.
+run_with_retry si_3x3x3_b \
+  python -m diffusion_for_multi_scale_molecular_dynamics_tpu.train_diffusion \
+  --config experiments/config_si_3x3x3.yaml \
+  --output out/si_3x3x3
 
 # 1. MACE retrain with the image-expanded trunk (fresh output dir: the
 #    network changed, old checkpoints are incompatible).
