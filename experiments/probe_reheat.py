@@ -196,14 +196,21 @@ def main(argv=None):
         print(json.dumps(probe), flush=True)
         return float(ratio)
 
-    # --- bracket, then regula falsi on T_eff(tau) - 1 ---
+    # --- bracket (up or down), then regula falsi on T_eff(tau) - 1 ---
     lo_tau, lo_r = 1.0, t_ratio(1.0)
     best = (lo_tau, lo_r)
     if abs(lo_r - 1.0) > args.tolerance:
         hi_tau, hi_r = lo_tau, lo_r
-        while hi_r < 1.0 and hi_tau < args.tau_max and len(probes) < args.max_probes:
-            hi_tau = min(hi_tau * 1.3, args.tau_max)
-            hi_r = t_ratio(hi_tau)
+        if lo_r < 1.0:  # quenched at tau=1: search hotter
+            while hi_r < 1.0 and hi_tau < args.tau_max and len(probes) < args.max_probes:
+                hi_tau = min(hi_tau * 1.3, args.tau_max)
+                hi_r = t_ratio(hi_tau)
+        else:  # already hot at tau=1: search colder
+            while lo_r > 1.0 and lo_tau > 0.3 and len(probes) < args.max_probes:
+                lo_tau = max(lo_tau * 0.8, 0.3)
+                lo_r = t_ratio(lo_tau)
+            if abs(lo_r - 1.0) < abs(best[1] - 1.0):
+                best = (lo_tau, lo_r)
         if abs(hi_r - 1.0) < abs(best[1] - 1.0):
             best = (hi_tau, hi_r)
         while (
