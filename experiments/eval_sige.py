@@ -65,6 +65,10 @@ def main():
     enable_persistent_compilation_cache()
 
     axl_network = load_axl_network_from_checkpoint(args.checkpoint, prefer=args.prefer)
+    # Chunk at 64 samples: reuses one compiled program per chunk (the same
+    # shape the reheat probe and training validation compile) instead of a
+    # fresh batch-256 compile.
+    chunk = min(64, args.samples)
     generator = LangevinGenerator(
         NoiseParameters(
             total_time_steps=args.steps,
@@ -76,7 +80,7 @@ def main():
         PredictorCorrectorSamplingParameters(
             num_atom_types=2,
             number_of_atoms=NATOMS,
-            number_of_samples=args.samples,
+            number_of_samples=chunk,
             number_of_corrector_steps=args.correctors,
             noise_temperature=args.noise_temperature,
             temperature_sigma_max=args.temperature_sigma_max,
@@ -85,7 +89,18 @@ def main():
         ),
         axl_network,
     )
-    samples = generator.sample(jax.random.PRNGKey(args.seed), args.samples)
+    key = jax.random.PRNGKey(args.seed)
+    pieces = []
+    remaining = args.samples
+    while remaining > 0:
+        key, sub = jax.random.split(key)
+        pieces.append(generator.sample(sub, chunk))
+        remaining -= chunk
+    samples = pieces[0]._replace(
+        A=np.concatenate([np.asarray(p.A) for p in pieces])[: args.samples],
+        X=np.concatenate([np.asarray(p.X) for p in pieces])[: args.samples],
+        L=np.concatenate([np.asarray(p.L) for p in pieces])[: args.samples],
+    )
     types = np.asarray(samples.A)
     x = np.asarray(samples.X)
 
