@@ -15,7 +15,7 @@ log() { echo "[final $(date +%H:%M:%S)] $*" >> out/queue.log; }
 wait_for_tpu() {
   local tries=0
   while true; do
-    timeout 150 python -c "
+    timeout 300 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((128, 128)); print(float((x @ x).sum()))
 " > /dev/null 2>&1 && { log "tpu probe ok"; sleep 90; return 0; }
