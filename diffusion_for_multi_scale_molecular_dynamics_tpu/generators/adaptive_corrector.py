@@ -7,6 +7,14 @@ the corrector step size adapts to the current score magnitude:
 
 with r = noise_parameters.corrector_r.
 
+Usage guidance (measured with an *exact* analytical score,
+tests/test_sampling_fidelity.py): corrector-only transport needs >= 5
+corrector steps per noise level — at the reference default of 2 only ~60%
+of atoms reach a mode even with a perfect score. With a *learned* score
+additionally set ``adaptive_corrector_mode_std`` to the data's thermal
+displacement scale so the step-length cap fences the vanishing-score
+(large sigma) regime, where the raw |z|/|s| step teleports atoms.
+
 (reference: src/diffusion_for_multi_scale_molecular_dynamics/generators/adaptive_corrector.py:17-148)
 """
 

@@ -86,3 +86,76 @@ def test_pc_sampler_reproduces_gaussian_data_distribution():
         if assigned == {0, 1}:
             occupied_both += 1
     assert occupied_both / len(x) > 0.95
+
+
+@pytest.mark.slow
+def test_adaptive_corrector_reproduces_data_distribution_with_exact_score():
+    """The adaptive corrector (reference default r=0.17) is statistically
+    correct *given enough corrector steps per noise level*: with an exact
+    score and 5 correctors it reproduces the data distribution to the same
+    tolerance as the PC sampler. At the reference default of 2 correctors
+    only ~60% of atoms converge even with the exact score — corrector-only
+    transport needs more substeps than predictor+corrector — so the
+    production failure of this sampler is (a) the default corrector count
+    and (b) the learned score's vanishing large-sigma norm (fenced by the
+    harmonic step-length cap); the update rule itself is sound.
+
+    (reference: src/.../generators/adaptive_corrector.py:17; VERDICT
+    round-3 #7)
+    """
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.generators import (
+        AdaptiveCorrectorGenerator,
+    )
+
+    config = AnalyticalScoreNetworkConfig(
+        num_atom_types=1,
+        number_of_atoms=NATOMS,
+        kmax=4,
+        equilibrium_relative_coordinates=EQUILIBRIUM,
+        sigma_d=SIGMA_D,
+        use_permutation_invariance=True,
+    )
+    network = AnalyticalScoreNetwork(config)
+
+    def sample_displacements(n_correctors, key):
+        generator = AdaptiveCorrectorGenerator(
+            NoiseParameters(
+                total_time_steps=100, sigma_min=0.001, sigma_max=0.5,
+                corrector_r=0.17,
+            ),
+            PredictorCorrectorSamplingParameters(
+                algorithm="adaptive_corrector",
+                num_atom_types=1,
+                number_of_atoms=NATOMS,
+                number_of_samples=128,
+                number_of_corrector_steps=n_correctors,
+                adaptive_corrector_mode_std=SIGMA_D,
+                use_fixed_lattice_parameters=True,
+                cell_dimensions=[1.0] * D,
+            ),
+            lambda batch: network.apply({}, batch, False),
+        )
+        samples = generator.sample(key, 128)
+        equilibrium = np.asarray(EQUILIBRIUM)
+        displacements = []
+        for sample in np.asarray(samples.X):
+            for atom in sample:
+                delta = np.mod(atom - equilibrium, 1.0)
+                delta = np.where(delta > 0.5, delta - 1.0, delta)
+                displacements.append(
+                    delta[np.argmin(np.linalg.norm(delta, axis=-1))]
+                )
+        return np.asarray(displacements)
+
+    converged = sample_displacements(5, jax.random.PRNGKey(2))
+    assert np.abs(converged).max() < 5 * SIGMA_D
+    np.testing.assert_allclose(converged.std(axis=0), SIGMA_D, rtol=0.3)
+
+    # The reference default (2 correctors) under-transports even with the
+    # exact score: a sizable fraction of atoms never reach a mode.
+    default = sample_displacements(2, jax.random.PRNGKey(3))
+    stray_fraction = (np.abs(default).max(axis=-1) > 5 * SIGMA_D).mean()
+    assert stray_fraction > 0.1, (
+        "reference-default corrector count unexpectedly converged; "
+        "revisit the sampler guidance in the factory docs"
+    )
