@@ -246,6 +246,44 @@ def time_reference_style_loop(generator):
     return elapsed * (N_STEPS / BASELINE_PROBE_STEPS)
 
 
+def check_device_health(timeout_s: int = 420) -> None:
+    """Fail fast (exit 3) if the accelerator cannot run a tiny matmul.
+
+    The axon TPU tunnel can wedge such that a new client blocks forever on
+    its first dispatch; without this gate the benchmark would hang for the
+    caller's full timeout instead of reporting the infrastructure failure.
+    The probe runs in a subprocess so a wedged attach cannot block this
+    process (an in-process blocked XLA call is not interruptible).
+    """
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "print(float((jnp.ones((128, 128)) @ jnp.ones((128, 128))).sum()))"
+    )
+    try:
+        subprocess.run(
+            [sys.executable, "-c", probe],
+            check=True,
+            capture_output=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: device health probe did not complete within {timeout_s}s "
+            "— the accelerator tunnel is wedged; no measurement possible",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    except subprocess.CalledProcessError as error:
+        print(
+            "bench: device health probe failed:\n"
+            + error.stderr.decode(errors="replace")[-2000:],
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+
+
 def main():
     import jax
 
@@ -253,6 +291,7 @@ def main():
         enable_persistent_compilation_cache,
     )
 
+    check_device_health()
     enable_persistent_compilation_cache()
 
     generator, _ = build_generator_and_network()
