@@ -275,6 +275,12 @@ def main(argv=None):
     parser.add_argument("--correctors", type=int, default=None)
     parser.add_argument("--noise_temperature", type=float, default=None)
     parser.add_argument("--sigma_window", type=float, default=None)
+    parser.add_argument(
+        "--force_field", type=float, nargs=2, default=None,
+        metavar=("RADIAL_CUTOFF", "STRENGTH"),
+        help="wrap the network with the repulsive pseudo-force used by the "
+        "sampling config of record (e.g. 1.5 20.0); off by default",
+    )
     args = parser.parse_args(argv)
 
     global NATOMS, CELL
@@ -301,6 +307,18 @@ def main(argv=None):
     enable_persistent_compilation_cache()
 
     axl_network = load_axl_network_from_checkpoint(args.checkpoint, prefer=args.prefer)
+    if args.force_field is not None:
+        from diffusion_for_multi_scale_molecular_dynamics_tpu.models.force_field_augmented_score_network import (  # noqa: E501
+            ForceFieldAugmentedScoreNetwork,
+            ForceFieldParameters,
+        )
+
+        axl_network = ForceFieldAugmentedScoreNetwork(
+            axl_network,
+            ForceFieldParameters(
+                radial_cutoff=args.force_field[0], strength=args.force_field[1]
+            ),
+        )
     oracle = StillingerWeberOracle(
         StillingerWeberParameters(
             name="stillinger_weber", sw_coeff_filename=resolve_sw_coefficients_path("Si.sw"),
