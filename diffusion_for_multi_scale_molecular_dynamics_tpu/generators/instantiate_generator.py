@@ -4,6 +4,7 @@
  load_sampling_parameters.py:13)
 """
 
+import logging
 from typing import Any, Dict, Optional
 
 from .adaptive_corrector import AdaptiveCorrectorGenerator
@@ -61,6 +62,17 @@ def instantiate_generator(
     if algorithm == "predictor_corrector":
         cls = LangevinGenerator
     elif algorithm == "adaptive_corrector":
+        if getattr(sampling_parameters, "number_of_corrector_steps", 0) < 5:
+            logging.getLogger(__name__).warning(
+                "adaptive_corrector with number_of_corrector_steps=%d: "
+                "corrector-only transport needs >= 5 corrector steps per "
+                "noise level even with an exact score (measured in "
+                "tests/test_sampling_fidelity.py; at the reference default "
+                "of 2 only ~60%% of atoms reach a mode). Also set "
+                "adaptive_corrector_mode_std to the data's thermal "
+                "displacement scale for learned scores.",
+                sampling_parameters.number_of_corrector_steps,
+            )
         cls = AdaptiveCorrectorGenerator
     elif algorithm == "ode":
         cls = ExplodingVarianceODEAXLGenerator
