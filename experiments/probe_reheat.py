@@ -10,16 +10,21 @@ energy unmoved, tau=1.20 restored it). Neither the schedule nor a one-shot
 linear extrapolation can predict tau.
 
 What does work: measure it. One 64-sample run gives the effective
-temperature to a few percent (the mean energy is 25x less noisy than the
+temperature to a few percent (the median energy is far less noisy than the
 n=64 KS statistic), so a bracketing secant search over tau converges in
 3-5 sampling runs — versus the full two-dimensional (tau, window) sweeps of
 round 2. The effective temperature is read off the harmonic estimator
 
-    T_eff / T_data = (E_mean(tau) - E_relaxed) / (E_mean(data) - E_relaxed),
+    T_eff / T_data = (E_med(tau) - E_relaxed) / (E_med(data) - E_relaxed),
 
 with E_relaxed the oracle energy of the per-atom mean-site (ideal) structure
-— equipartition makes the mean potential energy above the minimum linear in
-T for a near-harmonic crystal at 300 K.
+— equipartition makes the potential energy above the minimum linear in T
+for a near-harmonic crystal at 300 K, and the chi-square median factor
+cancels between numerator and denominator. Medians, not means: a single
+near-overlap outlier (+3 eV/atom on an 8-atom cell = +24 eV against a
+~0.3 eV thermal scale) drags a mean-based ratio hot by >1 even when the
+bulk is cold — exactly the failure observed on the MACE probe
+(tau bracketed to 0.33 while the bulk froze).
 
 The window stays at the schedule-derived default 3.5 x mode_std
 (sampling/reheat_calibration.py; the empirically stable 0.02 for Si 2x2x2).
@@ -101,6 +106,12 @@ def main(argv=None):
     parser.add_argument("--max_probes", type=int, default=6)
     parser.add_argument("--seed", type=int, default=7)
     parser.add_argument("--out", default=None)
+    parser.add_argument(
+        "--force_field", type=float, nargs=2, default=None,
+        metavar=("RADIAL_CUTOFF", "STRENGTH"),
+        help="calibrate with the production repulsive wrapper (e.g. 1.5 20.0) "
+        "so the probed tau matches the eventual sampling configuration",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -163,15 +174,27 @@ def main(argv=None):
     e_relaxed = float(
         np.asarray(oracle.compute_oracle_energies_and_forces(ideal)[0])[0]
     )
-    e_data = float(data_energies.mean())
+    e_data = float(np.median(data_energies))
     print(
         f"mode_std={mode_std:.5f} window={window:.4f} "
-        f"E_data={e_data:.4f} E_relaxed={e_relaxed:.4f}",
+        f"E_data(median)={e_data:.4f} E_relaxed={e_relaxed:.4f}",
         flush=True,
     )
-    assert e_data > e_relaxed, "data mean energy must sit above the relaxed minimum"
+    assert e_data > e_relaxed, "data median energy must sit above the relaxed minimum"
 
     axl_network = load_axl_network_from_checkpoint(args.checkpoint, prefer=args.prefer)
+    if args.force_field is not None:
+        from diffusion_for_multi_scale_molecular_dynamics_tpu.models.force_field_augmented_score_network import (  # noqa: E501
+            ForceFieldAugmentedScoreNetwork,
+            ForceFieldParameters,
+        )
+
+        axl_network = ForceFieldAugmentedScoreNetwork(
+            axl_network,
+            ForceFieldParameters(
+                radial_cutoff=args.force_field[0], strength=args.force_field[1]
+            ),
+        )
     num_atom_types = len(args.elements)
 
     key = jax.random.PRNGKey(args.seed)
@@ -185,10 +208,11 @@ def main(argv=None):
         energies = np.asarray(
             oracle.compute_oracle_energies_and_forces(samples)[0]
         )
-        ratio = (energies.mean() - e_relaxed) / (e_data - e_relaxed)
+        ratio = (np.median(energies) - e_relaxed) / (e_data - e_relaxed)
         probe = {
             "tau": float(tau),
             "energy_mean": float(energies.mean()),
+            "energy_median": float(np.median(energies)),
             "energy_std": float(energies.std()),
             "t_eff_over_t_data": float(ratio),
         }
@@ -236,7 +260,8 @@ def main(argv=None):
         "samples_per_probe": args.samples,
         "mode_std": mode_std,
         "temperature_sigma_max": float(window),
-        "energy_mean_data": e_data,
+        "force_field": args.force_field,
+        "energy_median_data": e_data,
         "energy_relaxed": e_relaxed,
         "probes": probes,
         "noise_temperature": float(best[0]),

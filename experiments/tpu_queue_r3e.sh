@@ -63,9 +63,20 @@ run_job reheat_probe_si \
   --cell 10.86 10.86 10.86 --natoms 64 --steps 1000 --correctors 3 \
   --out experiments/reheat_probe_si.json
 
-# 3. MACE eval with the production force-field wrapper at the probed tau.
-MACE_TAU=$(python -c "import json;print(json.load(open('experiments/reheat_probe_mace.json'))['noise_temperature'])" 2>/dev/null || echo 1.1)
-MACE_WIN=$(python -c "import json;print(json.load(open('experiments/reheat_probe_mace.json'))['temperature_sigma_max'])" 2>/dev/null || echo 0.02)
+# 3. Re-probe MACE with the outlier-robust median estimator AND the
+#    production force-field wrapper (the mean-based probe was dragged hot
+#    by a handful of near-overlap outliers and bracketed tau to 0.33 while
+#    the bulk froze), then evaluate at the probed tau with the same wrapper.
+run_job probe_mace_ff \
+  timeout 2400 python experiments/probe_reheat.py \
+  --checkpoint experiments/mace_si_1x1x1_r3_checkpoint --prefer last \
+  --data data/si_diffusion_1x1x1 --elements Si --sw Si.sw \
+  --cell 5.43 5.43 5.43 --natoms 8 --steps 500 --correctors 3 \
+  --force_field 1.5 20.0 \
+  --out experiments/reheat_probe_mace_ff.json
+
+MACE_TAU=$(python -c "import json;print(json.load(open('experiments/reheat_probe_mace_ff.json'))['noise_temperature'])" 2>/dev/null || echo 1.1)
+MACE_WIN=$(python -c "import json;print(json.load(open('experiments/reheat_probe_mace_ff.json'))['temperature_sigma_max'])" 2>/dev/null || echo 0.02)
 run_job eval_mace_ff \
   timeout 2100 python experiments/eval_checkpoint.py \
   --checkpoint experiments/mace_si_1x1x1_r3_checkpoint --prefer last \
