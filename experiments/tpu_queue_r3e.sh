@@ -45,25 +45,8 @@ run_job() {
 
 log "=== r3e queue start ==="
 
-# 1. Adaptive corrector at the measured convergence threshold (5 correctors)
-#    with the reheat window and the harmonic step cap, on the production
-#    Si 2x2x2 checkpoint.
-run_job adaptive5_si2x2x2 \
-  timeout 2700 python experiments/eval_checkpoint.py \
-  --checkpoint experiments/si_2x2x2_round2_checkpoint --prefer last \
-  --sweep round3_samplers --entries adaptive_r0.17_guard_reheat \
-  --data data/si_diffusion_2x2x2 --correctors 5 --samples 64 \
-  --output experiments/adaptive5_si_2x2x2.json
-
-# 2. Reheat-probe validation against the Si 2x2x2 sweep optimum (~1.22).
-run_job reheat_probe_si \
-  timeout 2400 python experiments/probe_reheat.py \
-  --checkpoint experiments/si_2x2x2_round2_checkpoint --prefer last \
-  --data data/si_diffusion_2x2x2 --elements Si --sw Si.sw \
-  --cell 10.86 10.86 10.86 --natoms 64 --steps 1000 --correctors 3 \
-  --out experiments/reheat_probe_si.json
-
-# 3. Re-probe MACE with the outlier-robust median estimator AND the
+# 1. (moved first: tightest on VERDICT #4, and the 14:10 watchdog
+#    may truncate this queue) Re-probe MACE with the outlier-robust median estimator AND the
 #    production force-field wrapper (the mean-based probe was dragged hot
 #    by a handful of near-overlap outliers and bracketed tau to 0.33 while
 #    the bulk froze), then evaluate at the probed tau with the same wrapper.
@@ -86,7 +69,22 @@ run_job eval_mace_ff \
   --force_field 1.5 20.0 \
   --output experiments/mace_si_1x1x1_eval_ff.json
 
-# 4. Final warm bench.
-run_job bench_r3e timeout 2400 python bench.py
+# 2. Adaptive corrector at the measured convergence threshold (5 correctors)
+#    with the reheat window and the harmonic step cap, on the production
+#    Si 2x2x2 checkpoint.
+run_job adaptive5_si2x2x2 \
+  timeout 2700 python experiments/eval_checkpoint.py \
+  --checkpoint experiments/si_2x2x2_round2_checkpoint --prefer last \
+  --sweep round3_samplers --entries adaptive_r0.17_guard_reheat \
+  --data data/si_diffusion_2x2x2 --correctors 5 --samples 64 \
+  --output experiments/adaptive5_si_2x2x2.json
+
+# 3. Reheat-probe validation against the Si 2x2x2 sweep optimum (~1.22).
+run_job reheat_probe_si \
+  timeout 2400 python experiments/probe_reheat.py \
+  --checkpoint experiments/si_2x2x2_round2_checkpoint --prefer last \
+  --data data/si_diffusion_2x2x2 --elements Si --sw Si.sw \
+  --cell 10.86 10.86 10.86 --natoms 64 --steps 1000 --correctors 3 \
+  --out experiments/reheat_probe_si.json
 
 log "=== r3e queue ALL DONE ==="
