@@ -49,8 +49,48 @@ def build_argument_parser() -> argparse.ArgumentParser:
     return parser
 
 
+# Every top-level config key this CLI consumes. A key outside this set is
+# almost always a typo or an unsupported reference knob — warn instead of
+# silently ignoring it (migration hazard).
+_KNOWN_TOP_LEVEL_KEYS = frozenset(
+    {
+        "exp_name",
+        "run_name",
+        "max_epoch",
+        "log_every_n_steps",
+        "gradient_clipping",
+        "accumulate_grad_batches",
+        "seed",
+        "elements",
+        "spatial_dimension",
+        "data",
+        "model",
+        "optimizer",
+        "scheduler",
+        "early_stopping",
+        "model_checkpoint",
+        "diffusion_sampling",
+        "sampling_visualization",
+        "oracle",
+        "loss_monitoring",
+        "score_viewer",
+        "logging",
+    }
+)
+
+
+def warn_on_unknown_top_level_keys(hyper_params: Dict[str, Any]) -> None:
+    unknown = sorted(set(hyper_params) - _KNOWN_TOP_LEVEL_KEYS)
+    if unknown:
+        logger.warning(
+            "Config keys not consumed by this trainer (typo or unsupported "
+            "knob?): %s", ", ".join(unknown)
+        )
+
+
 def run(args, hyper_params: Dict[str, Any]) -> Dict[str, float]:
     """Configure every component and run the training loop."""
+    warn_on_unknown_top_level_keys(hyper_params)
     seed = hyper_params.get("seed")
     if seed is not None:
         set_seed(seed)
@@ -61,12 +101,18 @@ def run(args, hyper_params: Dict[str, Any]) -> Dict[str, float]:
     score_network, diffusion_config = load_diffusion_model(hyper_params)
 
     optimizer_parameters = create_optimizer_parameters(hyper_params["optimizer"])
-    # The top-level gradient_clipping knob feeds the optax chain.
+    # The top-level gradient_clipping / accumulate_grad_batches knobs (the
+    # reference keeps them at the trainer level) feed the optax chain.
+    from dataclasses import replace
+
     clip = hyper_params.get("gradient_clipping", 0) or None
     if clip:
-        from dataclasses import replace
-
         optimizer_parameters = replace(optimizer_parameters, gradient_clipping=clip)
+    accumulate = int(hyper_params.get("accumulate_grad_batches", 1) or 1)
+    if accumulate > 1:
+        optimizer_parameters = replace(
+            optimizer_parameters, accumulate_grad_batches=accumulate
+        )
     scheduler_parameters = create_scheduler_parameters(hyper_params.get("scheduler"))
 
     checkpoint_config = hyper_params.get("model_checkpoint", {})
@@ -76,9 +122,11 @@ def run(args, hyper_params: Dict[str, Any]) -> Dict[str, float]:
         mode=checkpoint_config.get("mode", "min"),
     )
 
+    exp_name = hyper_params.get("exp_name", "experiment")
+    if hyper_params.get("run_name"):
+        exp_name = f"{exp_name}/{hyper_params['run_name']}"
     loggers = create_all_loggers(
-        hyper_params.get("logging", ["csv"]), args.output,
-        hyper_params.get("exp_name", "experiment"),
+        hyper_params.get("logging", ["csv"]), args.output, exp_name
     )
     callbacks = create_all_callbacks(
         hyper_params, hyper_params.get("spatial_dimension", 3)

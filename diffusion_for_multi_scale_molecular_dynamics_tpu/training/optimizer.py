@@ -29,10 +29,16 @@ class OptimizerParameters:
     # value is 0.999. When enabled, validation/sampling/checkpoint-best use
     # the EMA weights (an upgrade over the reference, which has no EMA).
     ema_decay: float = 0.0
+    # Average gradients over k micro-batches before applying one optimizer
+    # step (the reference's lightning `accumulate_grad_batches` knob).
+    accumulate_grad_batches: int = 1
 
     def __post_init__(self):
         assert self.name in _VALID_OPTIMIZERS, f"Unknown optimizer '{self.name}'"
         assert 0.0 <= self.ema_decay < 1.0, "ema_decay must be in [0, 1)"
+        assert self.accumulate_grad_batches >= 1, (
+            "accumulate_grad_batches must be >= 1"
+        )
 
 
 @dataclass(frozen=True, kw_only=True)
@@ -77,8 +83,15 @@ def load_optimizer(parameters: OptimizerParameters) -> optax.GradientTransformat
             weight_decay=parameters.weight_decay,
         )
     if parameters.gradient_clipping is not None:
-        return optax.chain(
+        base = optax.chain(
             optax.clip_by_global_norm(parameters.gradient_clipping), base
+        )
+    if parameters.accumulate_grad_batches > 1:
+        # Accumulate the mean gradient over k micro-batches; the wrapped
+        # chain (clipping included) sees only the averaged gradient at the
+        # real step, matching the reference's lightning semantics.
+        base = optax.MultiSteps(
+            base, every_k_schedule=parameters.accumulate_grad_batches
         )
     return base
 
@@ -88,21 +101,20 @@ def set_learning_rate(opt_state, learning_rate: float):
 
     import jax.numpy as jnp
 
-    def visit(state):
+    def visit(state) -> bool:
         if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
             old = state.hyperparams["learning_rate"]
             state.hyperparams["learning_rate"] = jnp.asarray(
                 learning_rate, dtype=jnp.asarray(old).dtype
             )
             return True
+        if hasattr(state, "inner_opt_state"):  # optax.MultiSteps wrapper
+            return visit(state.inner_opt_state)
+        if isinstance(state, tuple):
+            return any(visit(sub) for sub in state)
         return False
 
-    if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams"):
-        for sub in opt_state:
-            if visit(sub):
-                return opt_state
-    else:
-        visit(opt_state)
+    visit(opt_state)
     return opt_state
 
 
