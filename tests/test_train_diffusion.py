@@ -167,3 +167,34 @@ def test_train_diffusion_with_ema(tmp_path):
 
     # resume with EMA enabled must not crash.
     main(["--config", str(path), "--output", output])
+
+
+def test_warn_on_unknown_top_level_keys(caplog):
+    """Unknown config keys warn; the reference trainer knobs count as known.
+
+    (reference behavior: Lightning accepts/ignores extra hydra keys silently;
+    this CLI instead surfaces them as a migration aid — PARITY.md 'config-key
+    warnings'.)
+    """
+    import logging
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.train_diffusion import (
+        warn_on_unknown_top_level_keys,
+    )
+
+    # Reference trainer-level knobs supported since round 3 must NOT warn.
+    known = {
+        "exp_name": "e",
+        "run_name": "r",
+        "accumulate_grad_batches": 4,
+        "gradient_clipping": 0.1,
+        "max_epoch": 2,
+    }
+    with caplog.at_level(logging.WARNING):
+        warn_on_unknown_top_level_keys(known)
+    assert not caplog.records
+
+    with caplog.at_level(logging.WARNING):
+        warn_on_unknown_top_level_keys({**known, "max_epochs": 3, "trainer": {}})
+    messages = [r.getMessage() for r in caplog.records]
+    assert any("max_epochs" in m and "trainer" in m for m in messages)
