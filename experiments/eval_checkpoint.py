@@ -273,6 +273,12 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--samples", type=int, default=None)
     parser.add_argument("--correctors", type=int, default=None)
+    parser.add_argument(
+        "--batch", type=int, default=None,
+        help="sampling chunk size (VMEM guard: the fused EGNN forward is "
+        "validated at batch 16 for N=216; larger batches can fault the "
+        "worker at that size)",
+    )
     parser.add_argument("--noise_temperature", type=float, default=None)
     parser.add_argument("--sigma_window", type=float, default=None)
     parser.add_argument(
@@ -343,6 +349,7 @@ def main(argv=None):
             ("steps", args.steps),
             ("samples", args.samples),
             ("correctors", args.correctors),
+            ("batch", args.batch),
             ("noise_temperature", args.noise_temperature),
             ("sigma_window", args.sigma_window),
         )

@@ -98,6 +98,12 @@ def main(argv=None):
     parser.add_argument("--epsilon", type=float, default=2.5e-8)
     parser.add_argument("--correctors", type=int, default=3)
     parser.add_argument("--samples", type=int, default=64)
+    parser.add_argument(
+        "--batch", type=int, default=None,
+        help="sampling chunk size (VMEM guard: the fused EGNN forward is "
+        "validated at batch 16 for N=216; larger batches can fault the "
+        "worker at that size). Default: all samples in one batch.",
+    )
     parser.add_argument("--window", type=float, default=None,
                         help="temperature_sigma_max; default 3.5 x mode_std")
     parser.add_argument("--tau_max", type=float, default=2.0)
@@ -202,12 +208,20 @@ def main(argv=None):
 
     def t_ratio(tau):
         nonlocal key
-        key, sub = jax.random.split(key)
         generator = build_generator(args, axl_network, tau, window, num_atom_types)
-        samples = generator.sample(sub, args.samples)
-        energies = np.asarray(
-            oracle.compute_oracle_energies_and_forces(samples)[0]
-        )
+        # Chunked sampling keeps the per-call batch inside the fused-forward
+        # VMEM budget at large N (batch 16 is the validated size for N=216).
+        chunk = min(args.batch or args.samples, args.samples)
+        pieces = []
+        remaining = args.samples
+        while remaining > 0:
+            key, sub = jax.random.split(key)
+            samples = generator.sample(sub, min(chunk, remaining))
+            pieces.append(
+                np.asarray(oracle.compute_oracle_energies_and_forces(samples)[0])
+            )
+            remaining -= chunk
+        energies = np.concatenate(pieces)
         ratio = (np.median(energies) - e_relaxed) / (e_data - e_relaxed)
         probe = {
             "tau": float(tau),
