@@ -127,7 +127,11 @@ def evaluate(axl_network, oracle, reference_energies, reference_distances, spec,
 
     import jax as _jax
 
-    chunk = min(spec.get("batch", 64), spec["samples"])
+    # Default chunk is VMEM-guarded: batch x N^2 pair blocks capped at the
+    # validated 16 x 216^2 working set (batch 32 at N=216 hard-faults the
+    # TPU worker; see tpu_queue_r3g.sh).
+    vmem_guard = max(8, min(64, (16 * 216 * 216) // max(NATOMS * NATOMS, 1)))
+    chunk = min(spec.get("batch", vmem_guard), spec["samples"])
     pieces = []
     t0 = time.time()
     remaining = spec["samples"]

@@ -210,8 +210,12 @@ def main(argv=None):
         nonlocal key
         generator = build_generator(args, axl_network, tau, window, num_atom_types)
         # Chunked sampling keeps the per-call batch inside the fused-forward
-        # VMEM budget at large N (batch 16 is the validated size for N=216).
-        chunk = min(args.batch or args.samples, args.samples)
+        # VMEM budget at large N (batch 16 is the validated size for N=216;
+        # batch 32 hard-faults the TPU worker — see tpu_queue_r3g.sh).
+        vmem_guard = max(
+            8, min(64, (16 * 216 * 216) // max(args.natoms * args.natoms, 1))
+        )
+        chunk = min(args.batch or vmem_guard, args.samples)
         pieces = []
         remaining = args.samples
         while remaining > 0:
