@@ -318,16 +318,12 @@ def main(argv=None):
 
     axl_network = load_axl_network_from_checkpoint(args.checkpoint, prefer=args.prefer)
     if args.force_field is not None:
-        from diffusion_for_multi_scale_molecular_dynamics_tpu.models.force_field_augmented_score_network import (  # noqa: E501
-            ForceFieldAugmentedScoreNetwork,
-            ForceFieldParameters,
-        )
+        # Keeps the params-as-jit-arguments fast path; the plain wrapper
+        # would bake every weight into the compiled scan as HLO literals.
+        from _ff_partial import wrap_force_field
 
-        axl_network = ForceFieldAugmentedScoreNetwork(
-            axl_network,
-            ForceFieldParameters(
-                radial_cutoff=args.force_field[0], strength=args.force_field[1]
-            ),
+        axl_network = wrap_force_field(
+            axl_network, args.force_field[0], args.force_field[1]
         )
     oracle = StillingerWeberOracle(
         StillingerWeberParameters(
