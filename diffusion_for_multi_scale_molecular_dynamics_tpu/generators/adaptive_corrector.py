@@ -52,8 +52,13 @@ class AdaptiveCorrectorGenerator(LangevinGenerator):
         # cap_factor x its exact-score value (see sampling parameters).
         length = z_norm / jnp.clip(score_norm, min=self.small_epsilon)
         cap_factor = self.sampling_parameters.adaptive_corrector_max_length_over_sigma
-        if cap_factor > 0:
-            mode_std = self.sampling_parameters.adaptive_corrector_mode_std
+        mode_std = self.sampling_parameters.adaptive_corrector_mode_std
+        # The cap engages only when the data's thermal scale is supplied:
+        # with mode_std = 0 the harmonic length collapses to z_norm*sigma/
+        # sqrt(dof) at freeze-out and would wrongly clamp healthy steps
+        # (sigma << data width), contradicting the "defaults are inert"
+        # contract of the sampling parameters.
+        if cap_factor > 0 and mode_std > 0:
             axes = norm_axes if isinstance(norm_axes, tuple) else (norm_axes,)
             dof = 1.0
             for axis in axes:

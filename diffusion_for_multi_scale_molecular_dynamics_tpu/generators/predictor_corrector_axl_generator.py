@@ -43,7 +43,8 @@ class PredictorCorrectorSamplingParameters(SamplingParameters):
     # adaptive_corrector_mode_std^2): with mode_std set to the data's thermal
     # displacement scale (sampling/reheat_calibration.measured_mode_std) the
     # cap sits a factor above the exact-score value sqrt(s^2 + sigma^2) and
-    # only fires on pathological predictions. <= 0 disables (strict
-    # reference behavior).
+    # only fires on pathological predictions. The guard engages only when
+    # BOTH knobs are positive — mode_std = 0 (default) or cap <= 0 keeps
+    # strict reference behavior, so defaults are inert.
     adaptive_corrector_max_length_over_sigma: float = 4.0
     adaptive_corrector_mode_std: float = 0.0

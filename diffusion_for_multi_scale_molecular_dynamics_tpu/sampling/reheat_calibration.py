@@ -272,6 +272,10 @@ def calibrate_reheat(
     else:
         while ratio(low) > 1.0 and low > 1.0 / 16.0:
             low /= 1.5
+        # Mirror the hot-branch guard: exiting on the 1/16 floor without a
+        # sign change means no tau quenches this schedule/score — bisecting
+        # an unbracketed interval would silently return the floor.
+        assert ratio(low) <= 1.0, "reheat calibration failed to bracket tau"
     for _ in range(64):
         mid = 0.5 * (low + high)
         if ratio(mid) < 1.0:

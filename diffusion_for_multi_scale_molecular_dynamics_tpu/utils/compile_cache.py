@@ -40,4 +40,6 @@ def enable_persistent_compilation_cache(cache_dir: str = None) -> str:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         _enabled = True
-    return cache_dir
+    # Report the directory actually in use: a second call with a different
+    # cache_dir is a no-op (first activation wins).
+    return jax.config.jax_compilation_cache_dir

@@ -258,8 +258,10 @@ def main(argv=None):
             and hi_r > 1.0 > lo_r
         ):
             mid_tau = lo_tau + (1.0 - lo_r) * (hi_tau - lo_tau) / (hi_r - lo_r)
-            # Keep the secant point strictly inside the bracket.
-            mid_tau = min(max(mid_tau, lo_tau + 0.02), hi_tau - 0.02)
+            # Keep the secant point strictly inside the bracket; the inset
+            # shrinks with the bracket so a narrow bracket is never inverted.
+            inset = min(0.02, 0.25 * (hi_tau - lo_tau))
+            mid_tau = min(max(mid_tau, lo_tau + inset), hi_tau - inset)
             mid_r = t_ratio(mid_tau)
             if abs(mid_r - 1.0) < abs(best[1] - 1.0):
                 best = (mid_tau, mid_r)

@@ -501,3 +501,49 @@ def test_adaptive_corrector_step_size_guard(rng_key):
     np.testing.assert_allclose(
         float(eps_healthy), float(eps_reference), rtol=1e-6
     )
+
+
+def test_adaptive_corrector_default_is_inert(rng_key):
+    """Default parameters (mode_std unset) must reproduce strict reference
+    behavior even at freeze-out sigma, where a mode_std=0 cap would bind
+    (the harmonic length collapses to z_norm*sigma/sqrt(dof) << the healthy
+    step)."""
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.generators.adaptive_corrector import (
+        AdaptiveCorrectorGenerator,
+    )
+
+    noise_params = NoiseParameters(
+        total_time_steps=N_STEPS, sigma_min=1e-4, sigma_max=0.2
+    )
+
+    def make(**overrides):
+        return AdaptiveCorrectorGenerator(
+            noise_params,
+            PredictorCorrectorSamplingParameters(
+                number_of_corrector_steps=1,
+                num_atom_types=NUM_TYPES,
+                number_of_atoms=NATOMS,
+                number_of_samples=4,
+                use_fixed_lattice_parameters=True,
+                cell_dimensions=[5.43] * D,
+                **overrides,
+            ),
+            lambda b: None,
+        )
+
+    sigma = 1e-4  # freeze-out: healthy |s| ~ data width >> sigma
+    mode_std = 0.005
+    z = jax.random.normal(rng_key, (4, NATOMS, D))
+    variance = mode_std**2 + sigma**2
+    d = jax.random.normal(jax.random.fold_in(rng_key, 1), (4, NATOMS, D)) * np.sqrt(
+        variance
+    )
+    healthy = -sigma * d / variance
+
+    eps_default = make()._coordinates_corrector_step_size(
+        jnp.asarray(5), sigma, healthy, z
+    )
+    eps_reference = make(
+        adaptive_corrector_max_length_over_sigma=0.0
+    )._coordinates_corrector_step_size(jnp.asarray(5), sigma, healthy, z)
+    np.testing.assert_allclose(float(eps_default), float(eps_reference), rtol=1e-6)
