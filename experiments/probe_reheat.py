@@ -270,6 +270,14 @@ def main(argv=None):
             else:
                 hi_tau, hi_r = mid_tau, mid_r
 
+    # The incremental `best` tracking above only sees the bracket endpoints
+    # when bracketing fails (a non-monotone ratio, e.g. frozen-in defects
+    # heating the median at cold tau): pick the argmin over *every* probe.
+    best = min(
+        ((p["tau"], p["t_eff_over_t_data"]) for p in probes),
+        key=lambda pair: abs(pair[1] - 1.0),
+    )
+
     result = {
         "checkpoint": args.checkpoint,
         "prefer": args.prefer,
