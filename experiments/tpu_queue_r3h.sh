@@ -14,7 +14,7 @@ set -u
 cd /root/repo
 mkdir -p out
 
-START_DEADLINE=1335   # don't start a new job after 13:35 (watchdog 14:10)
+START_DEADLINE=1345   # don't start a new job after 13:45 (watchdog 14:10)
 
 log() { echo "[r3h $(date +%H:%M:%S)] $*" >> out/queue.log; }
 
@@ -78,7 +78,7 @@ run_job eval_si3_ff \
 # 2a. Resume MACE training 186 -> 500 epochs (same run directory; the
 #     trainer resumes from last_model, ~6.8 s/epoch).
 run_job mace_r3h \
-  timeout 2700 python -m diffusion_for_multi_scale_molecular_dynamics_tpu.train_diffusion \
+  timeout 2100 python -m diffusion_for_multi_scale_molecular_dynamics_tpu.train_diffusion \
   --config experiments/config_mace_si_1x1x1_r3h.yaml \
   --output out/mace_si_1x1x1_r3b
 rm -rf experiments/mace_si_1x1x1_r3h_checkpoint
