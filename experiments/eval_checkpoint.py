@@ -251,6 +251,18 @@ SWEEPS = {
         {"name": "ode_1000", "algorithm": "ode", "samples": 64},
         {"name": "sde_1000", "algorithm": "sde", "samples": 64},
     ],
+    # VERDICT round-3 #7 follow-through: the exact-score convergence study
+    # (tests/test_sampling_fidelity.py) found corrector-only transport needs
+    # >= 5 substeps per level; this tests that threshold on the production
+    # learned score, guarded and reheated.
+    "adaptive5": [
+        {"name": "adaptive_r0.17_5c_guarded", "algorithm": "adaptive_corrector",
+         "correctors": 5, "corrector_r": 0.17, "adaptive_mode_std": 0.0058,
+         "samples": 64},
+        {"name": "adaptive_r0.17_5c_guard_reheat", "algorithm": "adaptive_corrector",
+         "correctors": 5, "corrector_r": 0.17, "adaptive_mode_std": 0.0058,
+         "noise_temperature": 1.22, "sigma_window": 0.02, "samples": 64},
+    ],
     # Parameterized from the CLI (--noise_temperature/--sigma_window/...);
     # the single entry the reheat-probe -> final-eval chain fills in.
     "custom": [
