@@ -1,0 +1,168 @@
+"""Wall-clock / MFU comparison: MACE trunk vs production EGNN (VERDICT #4).
+
+Times one jitted score-network forward for both architectures at the same
+workload (Si 1x1x1: N=8 atoms, equal batch), reports per-forward latency,
+XLA's analytic FLOPs, achieved TFLOP/s and MFU against the chip's bf16 peak,
+plus the implied predictor-corrector sampling throughput at the production
+500-step x (1+3)-forward schedule (sampler logic is ~1% of wall time at
+production shapes — experiments/perf_decompose.json).
+
+The MACE comes from its trained checkpoint (architecture of record,
+32x0e+32x1o, 2 interactions, correlation 3); the EGNN is the production
+4x256 trunk instantiated at N=8. FLOPs use XLA cost analysis of the timed
+program (for the EGNN the dense-path twin is used, as in bench.py — the
+Pallas kernel's FLOPs are invisible to cost analysis).
+
+Usage (TPU): python experiments/arch_timing.py --batch 256
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NATOMS = 8
+CELL = [5.43, 5.43, 5.43]
+
+
+def _time_forward(fn, batch, repeats=20):
+    import jax
+
+    out = fn(batch)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        start = time.perf_counter()
+        out = fn(batch)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - start)
+    return min(times)
+
+
+def _cost_flops(fn, batch):
+    import jax
+
+    cost = jax.jit(fn).lower(batch).compile().cost_analysis()
+    if cost and cost.get("flops", 0) > 0:
+        return float(cost["flops"])
+    return None
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--mace_checkpoint", default="experiments/mace_si_1x1x1_r3h_checkpoint"
+    )
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--correctors", type=int, default=3)
+    parser.add_argument("--out", default="experiments/arch_timing.json")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_pieces
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.namespace import (
+        AXL, CARTESIAN_FORCES, NOISE, NOISY_AXL_COMPOSITION, TIME,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.restore import (
+        load_axl_network_from_checkpoint,
+    )
+
+    enable_persistent_compilation_cache()
+    mace_ckpt = args.mace_checkpoint
+    if not os.path.isdir(mace_ckpt):
+        mace_ckpt = "experiments/mace_si_1x1x1_r3_checkpoint"
+
+    batch_size = args.batch
+    lattice = jnp.asarray(CELL + [0.0] * 3, jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (batch_size, NATOMS, 3))
+    batch = {
+        NOISY_AXL_COMPOSITION: AXL(
+            A=jnp.zeros((batch_size, NATOMS), jnp.int32),
+            X=x,
+            L=jnp.tile(lattice[None], (batch_size, 1)),
+        ),
+        TIME: jnp.full((batch_size, 1), 0.5),
+        NOISE: jnp.full((batch_size, 1), 0.05),
+        CARTESIAN_FORCES: jnp.zeros_like(x),
+    }
+
+    device_kind = jax.devices()[0].device_kind
+    peak = {
+        "TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
+        "TPU v5p": 459e12, "TPU v6 lite": 918e12,
+    }.get(device_kind)
+
+    forwards = args.steps * (1 + args.correctors)
+    results = {"device_kind": device_kind, "batch": batch_size, "natoms": NATOMS,
+               "schedule_forwards": forwards, "architectures": {}}
+
+    # ----------------------------------------------------------------- MACE
+    mace = load_axl_network_from_checkpoint(mace_ckpt, prefer="last")
+    mace_jit = jax.jit(mace)
+    mace_t = _time_forward(mace_jit, batch)
+    mace_flops = _cost_flops(mace, batch)
+    results["architectures"]["mace"] = {
+        "checkpoint": mace_ckpt,
+        "forward_ms": round(mace_t * 1e3, 3),
+        "flops_per_forward": mace_flops,
+        "samples_per_s_500x4": round(batch_size / (forwards * mace_t), 3),
+        "mfu": round(mace_flops / mace_t / peak, 5)
+        if (mace_flops and peak) else None,
+    }
+    print("mace:", results["architectures"]["mace"], flush=True)
+
+    # ----------------------------------------------------------------- EGNN
+    network, params, _ = _flagship_pieces(
+        batch_size=batch_size, natoms=NATOMS, n_layers=4, hidden=256
+    )
+    egnn = functools.partial(network.apply, params)
+    egnn_jit = jax.jit(lambda b: network.apply(params, b, False))
+    egnn_t = _time_forward(egnn_jit, batch)
+
+    dense_config = type(network.config)(
+        **{
+            **{
+                f: getattr(network.config, f)
+                for f in network.config.__dataclass_fields__
+            },
+            "use_fused_message_block": False,
+        }
+    )
+    dense_network = type(network)(dense_config)
+    dense_params = dense_network.init(jax.random.PRNGKey(0), batch, False)
+    egnn_flops = _cost_flops(
+        lambda b: dense_network.apply(dense_params, b, False), batch
+    )
+    results["architectures"]["egnn_4x256"] = {
+        "forward_ms": round(egnn_t * 1e3, 3),
+        "flops_per_forward": egnn_flops,
+        "samples_per_s_500x4": round(batch_size / (forwards * egnn_t), 3),
+        "mfu": round(egnn_flops / egnn_t / peak, 5)
+        if (egnn_flops and peak) else None,
+    }
+    print("egnn:", results["architectures"]["egnn_4x256"], flush=True)
+
+    mace_entry = results["architectures"]["mace"]
+    egnn_entry = results["architectures"]["egnn_4x256"]
+    results["egnn_over_mace_speed"] = round(
+        mace_entry["forward_ms"] / egnn_entry["forward_ms"], 2
+    )
+
+    with open(args.out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(f"wrote {args.out}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
