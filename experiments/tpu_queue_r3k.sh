@@ -92,47 +92,11 @@ run_job eval_si3_ff \
   --noise_temperature "${SI3_TAU}" --sigma_window "${SI3_WIN}" \
   --output experiments/si_3x3x3_eval_ff.json
 
-# ----------------- 3. Si 3x3x3 resume, bounded by the 20:45 wall boundary
-if [ ! -d out/si_3x3x3 ]; then
-  cp -r experiments/si_3x3x3_checkpoint out/si_3x3x3
-  rm -f out/si_3x3x3/config_backup.yaml
-  log "seeded out/si_3x3x3 from the 40-epoch snapshot"
-fi
-
-TRAIN_BUDGET=$(secs_until 20:45)
-if [ "${TRAIN_BUDGET}" -ge 1800 ]; then
-  log "si3 train budget ${TRAIN_BUDGET}s (until 20:45)"
-  run_job si3_train_r3k \
-    timeout "${TRAIN_BUDGET}" python -m diffusion_for_multi_scale_molecular_dynamics_tpu.train_diffusion \
-    --config experiments/config_si_3x3x3_r3i.yaml \
-    --output out/si_3x3x3
-  snapshot out/si_3x3x3 experiments/si_3x3x3_checkpoint
-else
-  log "SKIP si3_train_r3k: budget ${TRAIN_BUDGET}s < 1800s"
-fi
-
-# --------------------------- 4. probe + eval on the resumed checkpoint
-if [ -d out/si_3x3x3/last_model ]; then
-  run_job probe_si3_r3k \
-    timeout 2700 python experiments/probe_reheat.py \
-    --checkpoint out/si_3x3x3 --prefer last \
-    --data data/si_diffusion_3x3x3 --elements Si --sw Si.sw \
-    --cell 16.29 16.29 16.29 --natoms 216 --steps 1000 --correctors 3 \
-    --samples 16 --batch 16 --force_field 1.5 20.0 \
-    --out experiments/reheat_probe_si3x3x3_r3k.json
-
-  SI3B_TAU=$(python -c "import json;print(json.load(open('experiments/reheat_probe_si3x3x3_r3k.json'))['noise_temperature'])" 2>/dev/null || echo "${SI3_TAU}")
-  SI3B_WIN=$(python -c "import json;print(json.load(open('experiments/reheat_probe_si3x3x3_r3k.json'))['temperature_sigma_max'])" 2>/dev/null || echo "${SI3_WIN}")
-  EVAL_BUDGET=$(secs_until 23:25)
-  run_job eval_si3_r3k \
-    timeout "${EVAL_BUDGET}" python experiments/eval_checkpoint.py \
-    --checkpoint out/si_3x3x3 --prefer last --sweep custom \
-    --natoms 216 --cell 16.29 16.29 16.29 \
-    --data data/si_diffusion_3x3x3 \
-    --samples 64 --correctors 3 --batch 16 --force_field 1.5 20.0 \
-    --noise_temperature "${SI3B_TAU}" --sigma_window "${SI3B_WIN}" \
-    --output experiments/si_3x3x3_eval_r3k.json
-fi
+# --------- 3+4. Si 3x3x3 resume + probe + eval, bounded by wall boundaries.
+# Delegated to a helper so the stage can be finalized while this queue is
+# already running earlier jobs (bash reads the helper at invocation time,
+# not at queue start — the fused-checkpoint conversion lands there).
+bash experiments/si3_stage_r3k.sh "${SI3_TAU}" "${SI3_WIN}"
 
 # -------------------- 5. leftovers, only if the clock allows (rare)
 run_job adaptive5 \
