@@ -134,3 +134,8 @@ if [ -n "${CKPT_DIR}" ] && [ -d "${CKPT_DIR}/last_model" ]; then
     --noise_temperature "${SI3B_TAU}" --sigma_window "${SI3B_WIN}" \
     --output experiments/si_3x3x3_eval_r3k.json
 fi
+
+# Re-run the arch timing with the scan-amortized measurement (the first
+# run's single-dispatch numbers were dominated by axon dispatch latency).
+run_job arch_timing2 \
+  timeout 2400 python experiments/arch_timing.py --batch 256
