@@ -26,6 +26,7 @@ different algorithm):
   * Padded atoms (static max-atom batches) are excluded via ATOM_MASK.
 """
 
+import logging
 from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
@@ -44,6 +45,8 @@ from ..ops.neighbors import (
     get_periodic_images,
 )
 from .score_network import ScoreNetworkConfig, impose_non_mask_atomic_type_prediction
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass(frozen=True, kw_only=True)
@@ -134,6 +137,20 @@ class _DenseEGCL(nn.Module):
             diff = diff * (jnp.tanh(radial) / jnp.sqrt(radial + eps**2))
 
         n = h.shape[1]
+        # TPU single buffers are limited to 2^31 bytes: the dense path's
+        # [B, N, N, 2F+1] edge-MLP input crosses that at production widths
+        # (e.g. batch 32 at N=216, F=256 -> 2.85 GiB, a hard worker fault —
+        # experiments/buffer_audit.py). The fused path never builds it.
+        pair_bytes = 4 * h.shape[0] * n * n * (2 * h.shape[-1] + 1)
+        if pair_bytes >= 2**31:
+            logger.warning(
+                "dense EGCL edge tensor is %.2f GiB (batch %d, N %d, F %d) — "
+                "at or above the 2^31-byte TPU buffer limit; set "
+                "use_fused_message_block: true (see "
+                "utils/egnn_param_migration.py to migrate a trained "
+                "checkpoint) or reduce the sampling batch",
+                pair_bytes / 2**30, h.shape[0], n, h.shape[-1],
+            )
         h_i = jnp.broadcast_to(h[:, :, None, :], (h.shape[0], n, n, h.shape[-1]))
         h_j = jnp.broadcast_to(h[:, None, :, :], (h.shape[0], n, n, h.shape[-1]))
         msg_in = jnp.concatenate(
