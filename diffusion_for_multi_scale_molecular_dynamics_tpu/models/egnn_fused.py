@@ -157,17 +157,32 @@ def dense_message_block(
 
 
 def _forward_block_rows(n: int, pair_budget: int = 4096) -> int:
-    """Largest divisor of n whose row block holds <= pair_budget pairs.
+    """Largest valid row block whose [rows, n] tile holds <= pair_budget pairs.
 
     At production Si 2x2x2 (n=64) this is the whole sample (4096 pairs, the
     round-2 kernel); at n=216 it blocks rows so the [R, N, H] activations
     stay a few MB — whole-sample [N, N, H] blocks would be ~48 MB/layer at
     H=256 and overflow VMEM.
+
+    Mosaic constrains a VMEM block's second-to-last dimension to be a
+    multiple of 8 unless it equals the full array dimension, so a partial
+    block must be a multiple-of-8 divisor of n (the grid tiles n exactly).
+    A divisor that merely fits the budget is not enough — picking 18 at
+    n=216 fails TPU lowering (the r3k fused-resume crash).
     """
-    best = 1
-    for rows in range(1, n + 1):
+    if n * n <= pair_budget:
+        return n
+    best = 0
+    for rows in range(8, n, 8):
         if n % rows == 0 and rows * n <= pair_budget:
             best = rows
+    if best == 0:
+        raise ValueError(
+            f"fused EGNN forward: no multiple-of-8 row block divides n={n} "
+            f"within the {pair_budget}-pair VMEM budget; pad the atom count "
+            "to a multiple of 8 (the data modules' max_atom padding) or use "
+            "the dense path."
+        )
     return best
 
 

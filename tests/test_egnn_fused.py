@@ -196,19 +196,30 @@ def test_forward_row_blocking_matches_dense(inputs):
     )
 
     assert _forward_block_rows(64) == 64  # production Si 2x2x2: one block
-    assert _forward_block_rows(216) == 18  # Si 3x3x3: 12 row blocks
+    # Si 3x3x3: partial blocks must be multiple-of-8 divisors (Mosaic tiling);
+    # 18 rows fit the budget but fail TPU lowering, so 8 is the answer.
+    assert _forward_block_rows(216) == 8
+    # Whole-sample blocks are exempt from the multiple-of-8 rule.
     assert _forward_block_rows(7) == 7 and _forward_block_rows(13) == 13
+    # No multiple-of-8 divisor and too big for one block -> explicit error.
+    with pytest.raises(ValueError, match="multiple-of-8"):
+        _forward_block_rows(100, pair_budget=128)
 
     params, h, radial, weights = inputs
+    # Double the atom axis to n=16 so a multiple-of-8 partial block exists.
+    h2 = jnp.concatenate([h, h], axis=1)
+    radial2 = jnp.tile(radial, (1, 2, 2))
+    weights2 = jnp.tile(weights, (1, 2, 2)) * (1.0 - jnp.eye(2 * N))
     m_dense, phi_dense = dense_message_block(
-        params, h, radial, weights,
+        params, h2, radial2, weights2,
         n_message_layers=N_MSG, n_coordinate_layers=N_COORD, tanh=True,
     )
-    # pair_budget=2N forces block_rows=2 -> N/2 grid steps per sample.
+    # pair_budget=8*(2N) forces block_rows=8 -> 2 grid steps per sample.
+    assert _forward_block_rows(2 * N, pair_budget=8 * 2 * N) == 8
     m_blocked, phi_blocked = pallas_message_block(
-        params, h, radial, weights,
+        params, h2, radial2, weights2,
         n_message_layers=N_MSG, n_coordinate_layers=N_COORD, tanh=True,
-        pair_budget=2 * N,
+        pair_budget=8 * 2 * N,
     )
     np.testing.assert_allclose(
         np.asarray(m_blocked), np.asarray(m_dense), atol=1e-4, rtol=1e-3
