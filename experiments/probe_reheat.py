@@ -83,6 +83,36 @@ def build_generator(args, axl_network, tau, window, num_atom_types):
     )
 
 
+def select_noise_temperature(probes, refine_floor=0.5):
+    """Final (tau, ratio, interpolated) pick from the probe list.
+
+    Default: the probe whose T_eff/T_data sits closest to 1. But when the
+    ratio walks off a *cliff* between two adjacent taus (the r3k Si 3x3x3
+    probe: 3.55 at tau=0.41 -> 0.084 at tau=0.33) the argmin lands on the
+    frozen side and the eval samples cold. If the best probe is still off
+    by more than `refine_floor` and the probes bracket ratio=1, return the
+    regula-falsi interpolation of the *tightest* bracket instead — an
+    unverified but far better tau than either cliff edge (flagged
+    interpolated=True, ratio=None).
+    """
+    best = min(probes, key=lambda p: abs(p["t_eff_over_t_data"] - 1.0))
+    tau_b, r_b = float(best["tau"]), float(best["t_eff_over_t_data"])
+    if abs(r_b - 1.0) <= refine_floor:
+        return tau_b, r_b, False
+    hot = [p for p in probes if p["t_eff_over_t_data"] > 1.0]
+    cold = [p for p in probes if p["t_eff_over_t_data"] < 1.0]
+    if not hot or not cold:
+        return tau_b, r_b, False
+    hi = min(hot, key=lambda p: p["tau"])  # coldest still-hot probe
+    lo = max(cold, key=lambda p: p["tau"])  # hottest already-cold probe
+    lo_t, lo_r = float(lo["tau"]), float(lo["t_eff_over_t_data"])
+    hi_t, hi_r = float(hi["tau"]), float(hi["t_eff_over_t_data"])
+    if lo_t >= hi_t:  # non-monotone ratio; no trustworthy bracket
+        return tau_b, r_b, False
+    tau = lo_t + (1.0 - lo_r) * (hi_t - lo_t) / (hi_r - lo_r)
+    return float(tau), None, True
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoint", required=True)
@@ -236,16 +266,24 @@ def main(argv=None):
         return float(ratio)
 
     # --- bracket (up or down), then regula falsi on T_eff(tau) - 1 ---
+    # The geometric ladder keeps a *sliding* bracket (each step the previous
+    # point becomes the opposite endpoint — the r3k Si 3x3x3 probe kept
+    # hi at tau=1 while walking lo down to the cliff, so regula falsi had a
+    # 0.33..1.0 bracket instead of the tight 0.33..0.41 one) and reserves
+    # two probes of the budget for the refinement stage.
+    ladder_budget = max(2, args.max_probes - 2)
     lo_tau, lo_r = 1.0, t_ratio(1.0)
     best = (lo_tau, lo_r)
     if abs(lo_r - 1.0) > args.tolerance:
         hi_tau, hi_r = lo_tau, lo_r
         if lo_r < 1.0:  # quenched at tau=1: search hotter
-            while hi_r < 1.0 and hi_tau < args.tau_max and len(probes) < args.max_probes:
+            while hi_r < 1.0 and hi_tau < args.tau_max and len(probes) < ladder_budget:
+                lo_tau, lo_r = hi_tau, hi_r
                 hi_tau = min(hi_tau * 1.3, args.tau_max)
                 hi_r = t_ratio(hi_tau)
         else:  # already hot at tau=1: search colder
-            while lo_r > 1.0 and lo_tau > 0.3 and len(probes) < args.max_probes:
+            while lo_r > 1.0 and lo_tau > 0.3 and len(probes) < ladder_budget:
+                hi_tau, hi_r = lo_tau, lo_r
                 lo_tau = max(lo_tau * 0.8, 0.3)
                 lo_r = t_ratio(lo_tau)
             if abs(lo_r - 1.0) < abs(best[1] - 1.0):
@@ -270,13 +308,12 @@ def main(argv=None):
             else:
                 hi_tau, hi_r = mid_tau, mid_r
 
-    # The incremental `best` tracking above only sees the bracket endpoints
-    # when bracketing fails (a non-monotone ratio, e.g. frozen-in defects
-    # heating the median at cold tau): pick the argmin over *every* probe.
-    best = min(
-        ((p["tau"], p["t_eff_over_t_data"]) for p in probes),
-        key=lambda pair: abs(pair[1] - 1.0),
-    )
+    # Final pick over *every* probe: argmin of |T_eff/T_data - 1|, except
+    # when the argmin is still far off (>50%) and the probes bracket 1 —
+    # then interpolate the tightest bracket (cliff case; see
+    # select_noise_temperature).
+    final_tau, final_r, interpolated = select_noise_temperature(probes)
+    best = (final_tau, final_r)
 
     result = {
         "checkpoint": args.checkpoint,
@@ -290,7 +327,10 @@ def main(argv=None):
         "energy_relaxed": e_relaxed,
         "probes": probes,
         "noise_temperature": float(best[0]),
-        "final_t_eff_over_t_data": float(best[1]),
+        "final_t_eff_over_t_data": (
+            None if best[1] is None else float(best[1])
+        ),
+        "interpolated": bool(interpolated),
     }
     print(json.dumps(result, indent=1), flush=True)
     if args.out:
