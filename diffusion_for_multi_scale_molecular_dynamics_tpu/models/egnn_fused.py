@@ -89,6 +89,22 @@ def _bf16_matmul(x, w, b=None):
     return out
 
 
+def _bf16_round(x):
+    return x.astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def _lane_dot(x3, w_row):
+    """sum_c x3[..., c] * w_row[0, c] -> x3.shape[:-1] in float32.
+
+    Lane-reduction substitute for a matmul against a [C, 1] column: both
+    operands are rounded to bf16 so the products match _bf16_matmul's MXU
+    numerics exactly (bf16 x bf16 products are exact in f32); only the
+    accumulation order differs. Used where the matmul would create a
+    [P, 1] tensor that Mosaic cannot reshape back to [R, N].
+    """
+    return jnp.sum(_bf16_round(x3) * _bf16_round(w_row)[None, :, :], axis=-1)
+
+
 def _message_stack(
     params, h_rows, h_all, radial, n_message_layers, n_coordinate_layers, tanh
 ):
@@ -128,10 +144,20 @@ def _message_stack(
         p = jax.nn.silu(
             _bf16_matmul(p, params[f"coord_w{layer}"], params[f"coord_b{layer}"])
         )
-    phi = _bf16_matmul(p, params["coord_wf"])  # [R*N, 1]
+    wf = params["coord_wf"]
+    if wf.shape[0] == 1:
+        # Kernel path: coord_wf arrives pre-transposed as a [1, C] row and
+        # the gate is a lane reduction, so no [P, 1] column ever exists —
+        # Mosaic cannot reshape across the lane dim once an [R, N] tile
+        # spans multiple 128-lane vregs (the n=216 lowering crash;
+        # (8, 64) fit a single vreg, which is why n=64 worked).
+        phi = _lane_dot(p.reshape(rows, n, -1), wf)
+    else:
+        # jnp/dense path: the [C, 1] column matmul XLA handles natively.
+        phi = _bf16_matmul(p, wf).reshape(rows, n)
     if tanh:
         phi = jnp.tanh(phi)
-    return m.reshape(rows, n, hidden), phi.reshape(rows, n)
+    return m.reshape(rows, n, hidden), phi
 
 
 def dense_message_block(
@@ -226,9 +252,12 @@ def pallas_message_block(
     n_blocks = n // block_rows
 
     param_names = sorted(params)
-    # Reshape biases to [1, H] (TPU scalars/vectors want >= 2D).
+    # Reshape biases to [1, H] (TPU scalars/vectors want >= 2D); hand the
+    # [C, 1] gate column to the kernel as a [1, C] row (see _lane_dot).
     def prep(name):
         value = params[name]
+        if name == "coord_wf":
+            return value.T
         return value[None] if value.ndim == 1 else value
 
     param_values = [prep(name) for name in param_names]
@@ -260,6 +289,10 @@ def pallas_message_block(
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         wrapped,
+        # The row-blocked working set (pair activations for every MLP layer)
+        # legitimately exceeds the 16 MB scoped-VMEM default at n=216;
+        # v5e has 128 MB of VMEM per core.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         grid=(batch, n_blocks),
         in_specs=[
             pl.BlockSpec(
@@ -367,20 +400,21 @@ def _backward_kernel(
         + radial_blk[:, :, None] * w_radial[None, :, :]
         + params["message_b0"].reshape(1, 1, -1)
     ).reshape(block_rows * n, hidden)
+    # Only the pre-activations are kept live across the sweep; each act is
+    # recomputed as silu(pre) at its (single) use site — bit-identical and
+    # half the VMEM of storing both (10 [P, H] tensors instead of 20; the
+    # n=216 block otherwise blows the kernel's scoped-VMEM budget).
     message_pres = [pre0]
     act = jax.nn.silu(pre0)
-    message_acts = [act]  # a_0 .. a_{Lm-1}
     for layer in range(1, n_message_layers):
         pre = _bf16_matmul(
             act, params[f"message_w{layer}"], params[f"message_b{layer}"]
         )
         act = jax.nn.silu(pre)
         message_pres.append(pre)
-        message_acts.append(act)
     m = act  # [P, H]
 
     coord_pres = []
-    coord_acts = []
     c_act = m
     for layer in range(n_coordinate_layers):
         pre = _bf16_matmul(
@@ -388,8 +422,12 @@ def _backward_kernel(
         )
         c_act = jax.nn.silu(pre)
         coord_pres.append(pre)
-        coord_acts.append(c_act)
-    phi_pre = _bf16_matmul(c_act, params["coord_wf"])  # [P, 1]
+    # coord_wf arrives pre-transposed as a [1, C] row; the gate is a lane
+    # reduction so no [P, 1] column exists in the kernel (Mosaic cannot
+    # reshape across the lane dim once [BI, N] spans multiple vregs).
+    wf_row = params["coord_wf"]  # [1, C]
+    coord_width = wf_row.shape[-1]
+    c_act3 = c_act.reshape(block_rows, n, coord_width)
 
     # ---- backward ----
     # Aggregation: m_agg_i = sum_j w_ij m_ij.
@@ -399,16 +437,24 @@ def _backward_kernel(
     m_3d = m.reshape(block_rows, n, hidden)
     dweights_ref[0] = jnp.sum(m_3d * g_magg[:, None, :], axis=-1)
 
-    # Coordinate gate chain.
-    dphi = g_phi.reshape(block_rows * n, 1)
+    # Coordinate gate chain (2D [BI, N] throughout).
+    dphi = g_phi
     if tanh:
-        phi = jnp.tanh(phi_pre)
+        phi = jnp.tanh(_lane_dot(c_act3, wf_row))
         dphi = dphi * (1.0 - phi**2)
-    dparam_refs["coord_wf"][:] += _bf16_matmul_t(c_act.T, dphi)
-    d_act = _bf16_matmul_t(dphi, params["coord_wf"], transpose_w=True)
+    dparam_refs["coord_wf"][:] += jnp.sum(
+        (_bf16_round(c_act3) * _bf16_round(dphi)[:, :, None]).reshape(
+            block_rows * n, coord_width
+        ),
+        axis=0,
+        keepdims=True,
+    )
+    d_act = (
+        _bf16_round(dphi)[:, :, None] * _bf16_round(wf_row)[None, :, :]
+    ).reshape(block_rows * n, coord_width)
     for layer in range(n_coordinate_layers - 1, -1, -1):
         d_pre = d_act * _silu_grad(coord_pres[layer])
-        inputs = coord_acts[layer - 1] if layer > 0 else m
+        inputs = jax.nn.silu(coord_pres[layer - 1]) if layer > 0 else m
         dparam_refs[f"coord_w{layer}"][:] += _bf16_matmul_t(inputs.T, d_pre)
         dparam_refs[f"coord_b{layer}"][:] += jnp.sum(
             d_pre, axis=0, keepdims=True
@@ -420,7 +466,7 @@ def _backward_kernel(
     for layer in range(n_message_layers - 1, 0, -1):
         d_pre = dm * _silu_grad(message_pres[layer])
         dparam_refs[f"message_w{layer}"][:] += _bf16_matmul_t(
-            message_acts[layer - 1].T, d_pre
+            jax.nn.silu(message_pres[layer - 1]).T, d_pre
         )
         dparam_refs[f"message_b{layer}"][:] += jnp.sum(
             d_pre, axis=0, keepdims=True
@@ -433,14 +479,19 @@ def _backward_kernel(
     ds0_flat = ds0.reshape(block_rows * n, hidden)
 
     dradial_ref[0] = jnp.sum(ds0 * w_radial[None, :, :], axis=-1)
-    radial_flat = radial_blk.reshape(block_rows * n, 1)
-    # dW0, assembled in the un-split [2F+1, H] layout.
+    # dW0, assembled in the un-split [2F+1, H] layout. The radial row is a
+    # broadcast-multiply + sublane reduction: flattening radial_blk to a
+    # [P, 1] column is a lane-crossing reshape Mosaic cannot lower.
     dparam_refs["message_w0"][:feature_size, :] += _bf16_matmul_t(h_blk.T, du)
     dparam_refs["message_w0"][feature_size : 2 * feature_size, :] += (
         _bf16_matmul_t(h.T, dv)
     )
-    dparam_refs["message_w0"][2 * feature_size :, :] += _bf16_matmul_t(
-        radial_flat.T, ds0_flat
+    dparam_refs["message_w0"][2 * feature_size :, :] += jnp.sum(
+        (_bf16_round(radial_blk)[:, :, None] * _bf16_round(ds0)).reshape(
+            block_rows * n, hidden
+        ),
+        axis=0,
+        keepdims=True,
     )
     dparam_refs["message_b0"][:] += jnp.sum(ds0_flat, axis=0, keepdims=True)
 
@@ -473,6 +524,8 @@ def pallas_message_block_bwd(
 
     def prep(name):
         value = params[name]
+        if name == "coord_wf":
+            return value.T  # [1, C] row form for the kernel (see _lane_dot)
         return value[None] if value.ndim == 1 else value
 
     param_values = [prep(name) for name in param_names]
@@ -510,6 +563,9 @@ def pallas_message_block_bwd(
     interpret = jax.default_backend() != "tpu"
     outs = pl.pallas_call(
         kernel,
+        # See pallas_message_block: the recompute working set needs more
+        # than the 16 MB scoped-VMEM default at n=216 (v5e: 128 MB/core).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         grid=(batch, n_blocks),
         in_specs=[
             pl.BlockSpec(
@@ -530,7 +586,12 @@ def pallas_message_block_bwd(
     dh, dradial, dweights = outs[:3]
     dparams = {}
     for name, value in zip(param_names, outs[3:]):
-        dparams[name] = value[0] if params[name].ndim == 1 else value
+        if name == "coord_wf":
+            dparams[name] = value.T  # kernel accumulates the [1, C] row form
+        elif params[name].ndim == 1:
+            dparams[name] = value[0]
+        else:
+            dparams[name] = value
     return dparams, dh, dradial, dweights
 
 
