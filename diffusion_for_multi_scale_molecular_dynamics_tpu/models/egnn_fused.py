@@ -29,6 +29,21 @@ rematerializing backward remains available (``use_pallas_backward=False``)
 as the reference/fallback path.
 
 Matmuls run in bfloat16 with float32 accumulation; aggregation is float32.
+
+Mosaic lowering constraints learned at n=216 (Si 3x3x3), where a row block
+first stopped fitting a single vreg tile — all invisible at n=64:
+
+  * A partial VMEM block's second-to-last dim must be a multiple of 8
+    (``_forward_block_rows``: 18-row blocks fail, 8-row blocks lower).
+  * Reshapes may not move data across the 128-wide lane dim once a tile
+    spans multiple vregs: [P, 1] <-> [R, N] flattenings fail for N > 128.
+    Hence the phi gate is a lane *reduction* against a [1, C] coord_wf row
+    (``_lane_dot``) — no [P, 1] column ever exists inside a kernel.
+  * The per-kernel scoped-VMEM budget defaults to 16 MB; the recompute
+    working set legitimately needs more at n=216, so both kernels set
+    ``CompilerParams(vmem_limit_bytes=100 MiB)`` (v5e: 128 MiB/core) and
+    the backward keeps only pre-activations live, recomputing each
+    ``silu(pre)`` at its single use site (bit-identical, half the VMEM).
 """
 
 import functools
