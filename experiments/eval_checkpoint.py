@@ -127,9 +127,11 @@ def evaluate(axl_network, oracle, reference_energies, reference_distances, spec,
 
     import jax as _jax
 
-    # Default chunk is VMEM-guarded: batch x N^2 pair blocks capped at the
-    # validated 16 x 216^2 working set (batch 32 at N=216 hard-faults the
-    # TPU worker; see tpu_queue_r3g.sh).
+    # Default chunk caps batch x N^2 pair blocks at the validated
+    # 16 x 216^2 working set. Root cause of the original batch-32 fault at
+    # N=216: the *dense* EGCL path's (B, 216, 216, 513) f32 edge concat
+    # crosses the 2^31-byte buffer limit (experiments/buffer_audit.py) —
+    # fused-path checkpoints can likely raise this after a hardware check.
     vmem_guard = max(8, min(64, (16 * 216 * 216) // max(NATOMS * NATOMS, 1)))
     chunk = min(spec.get("batch", vmem_guard), spec["samples"])
     pieces = []

@@ -236,9 +236,11 @@ def main(argv=None):
     def t_ratio(tau):
         nonlocal key
         generator = build_generator(args, axl_network, tau, window, num_atom_types)
-        # Chunked sampling keeps the per-call batch inside the fused-forward
-        # VMEM budget at large N (batch 16 is the validated size for N=216;
-        # batch 32 hard-faults the TPU worker — see tpu_queue_r3g.sh).
+        # Chunked sampling caps batch x N^2 at the validated 16 x 216^2
+        # working set. Root cause of the original batch-32 fault at N=216:
+        # the *dense* EGCL path's 2^31-byte edge concat
+        # (experiments/buffer_audit.py); fused-path checkpoints can likely
+        # raise this after a hardware check.
         vmem_guard = max(
             8, min(64, (16 * 216 * 216) // max(args.natoms * args.natoms, 1))
         )
