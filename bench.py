@@ -246,7 +246,9 @@ def time_reference_style_loop(generator):
     return elapsed * (N_STEPS / BASELINE_PROBE_STEPS)
 
 
-def check_device_health(timeout_s: int = 420) -> None:
+def check_device_health(
+    timeout_s: int = 420, attempts: int = 3, cooldown_s: int = 120
+) -> None:
     """Fail fast (exit 3) if the accelerator cannot run a tiny matmul.
 
     The axon TPU tunnel can wedge such that a new client blocks forever on
@@ -254,6 +256,12 @@ def check_device_health(timeout_s: int = 420) -> None:
     caller's full timeout instead of reporting the infrastructure failure.
     The probe runs in a subprocess so a wedged attach cannot block this
     process (an in-process blocked XLA call is not interruptible).
+
+    A SIGKILL'd previous client leaves the claim dirty for ~10 minutes and
+    then recovers (round-3 operational finding), so a single probe would
+    report a hard failure for a transient state: retry ``attempts`` probes
+    spaced to cover the dirty-claim window (3 x 420s + cooldowns ~ 24 min)
+    before giving up.
     """
     import subprocess
 
@@ -261,27 +269,40 @@ def check_device_health(timeout_s: int = 420) -> None:
         "import jax, jax.numpy as jnp; "
         "print(float((jnp.ones((128, 128)) @ jnp.ones((128, 128))).sum()))"
     )
-    try:
-        subprocess.run(
-            [sys.executable, "-c", probe],
-            check=True,
-            capture_output=True,
-            timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired:
-        print(
-            f"bench: device health probe did not complete within {timeout_s}s "
-            "— the accelerator tunnel is wedged; no measurement possible",
-            file=sys.stderr,
-        )
-        raise SystemExit(3)
-    except subprocess.CalledProcessError as error:
-        print(
-            "bench: device health probe failed:\n"
-            + error.stderr.decode(errors="replace")[-2000:],
-            file=sys.stderr,
-        )
-        raise SystemExit(3)
+    for attempt in range(1, attempts + 1):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe],
+                check=True,
+                capture_output=True,
+                timeout=timeout_s,
+            )
+            return
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench: device health probe {attempt}/{attempts} did not "
+                f"complete within {timeout_s}s — accelerator tunnel wedged",
+                file=sys.stderr,
+            )
+        except subprocess.CalledProcessError as error:
+            print(
+                f"bench: device health probe {attempt}/{attempts} failed:\n"
+                + error.stderr.decode(errors="replace")[-2000:],
+                file=sys.stderr,
+            )
+        if attempt < attempts:
+            print(
+                f"bench: cooling {cooldown_s}s before retry "
+                "(a dirty axon claim clears in ~10 min)",
+                file=sys.stderr,
+            )
+            time.sleep(cooldown_s)
+    print(
+        f"bench: accelerator unreachable after {attempts} probes; "
+        "no measurement possible",
+        file=sys.stderr,
+    )
+    raise SystemExit(3)
 
 
 def main():

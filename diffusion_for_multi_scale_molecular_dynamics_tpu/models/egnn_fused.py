@@ -532,7 +532,13 @@ def pallas_message_block_bwd(
     batch, n, feature_size = h.shape
     hidden = params["message_b0"].shape[-1]
     block_rows = min(block_rows, n)
-    assert n % block_rows == 0, f"{n} targets not divisible by {block_rows}"
+    if n % block_rows != 0:
+        # Mirror the forward's whole-sample exemption: Mosaic only accepts a
+        # partial VMEM block whose sublane dim is a multiple of 8, so an
+        # atom count like n=12..63 (accepted whole-sample by the forward)
+        # must also run whole-sample here — and an n with no legal block
+        # gets _forward_block_rows' descriptive error instead of an assert.
+        block_rows = _forward_block_rows(n)
     n_blocks = n // block_rows
 
     param_names = sorted(params)

@@ -141,7 +141,9 @@ class _DenseEGCL(nn.Module):
         # [B, N, N, 2F+1] edge-MLP input crosses that at production widths
         # (e.g. batch 32 at N=216, F=256 -> 2.85 GiB, a hard worker fault —
         # experiments/buffer_audit.py). The fused path never builds it.
-        pair_bytes = 4 * h.shape[0] * n * n * (2 * h.shape[-1] + 1)
+        pair_bytes = (
+            jnp.dtype(dtype).itemsize * h.shape[0] * n * n * (2 * h.shape[-1] + 1)
+        )
         if pair_bytes >= 2**31:
             logger.warning(
                 "dense EGCL edge tensor is %.2f GiB (batch %d, N %d, F %d) — "

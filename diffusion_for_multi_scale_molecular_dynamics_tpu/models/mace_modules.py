@@ -9,10 +9,14 @@ mace_score_network.py:85-127 and models/diffusion_mace.py:131-465).
 Design differences from the torch/e3nn implementation (same function class,
 TPU-first execution):
 
-* Graphs are dense masked pair tensors [B, N, N] over minimum-image
-  displacements (valid because the box is clipped to >= 2.2 r_max, the
-  reference's own trick, mace_score_network.py:172), not COO edge lists —
-  every op is a batched einsum on static shapes.
+* Graphs are dense masked pair tensors over periodic-image displacements,
+  not COO edge lists — every op is a batched einsum on static shapes. With
+  ``image_shells >= 1`` the source axis is expanded to J = N * (2s+1)^3
+  image copies (exact whenever r_max < box); ``image_shells = 0`` keeps the
+  minimum-image [B, N, N] grid for large cells. This replaces the
+  reference's box clip to >= 2.2 r_max (mace_score_network.py:170-175),
+  which silently rescales small cells and leaves the trunk geometry-blind
+  (the round-3 network-geometry fix, experiments/round3_results.md).
 * The symmetric contraction (correlation <= 3) is built from *iterated*
   Clebsch-Gordan couplings with one weight per (ordered multiset, intermediate)
   path instead of e3nn's precomputed symmetrized U matrices. The spanned

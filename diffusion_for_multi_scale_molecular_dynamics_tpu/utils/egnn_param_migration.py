@@ -39,6 +39,15 @@ _DENSE = re.compile(r"^Dense_(\d+)$")
 
 def egcl_layer_counts(score_network_config) -> Dict[str, int]:
     """Per-EGCL layer counts implied by an EGNN score-network config."""
+    if getattr(score_network_config, "attention", False):
+        # attention=True inserts an extra gate Dense between the message and
+        # coordinate MLPs; the fused kernel has no slot for it, so migration
+        # would only fail later with the generic 'no EGCL subtrees' error.
+        raise ValueError(
+            "attention=True checkpoints cannot migrate to/from the fused "
+            "EGCL layout: the fused message block does not implement the "
+            "attention gate (models/egnn_fused.py)."
+        )
     lm = score_network_config.message_n_hidden_dimensions + 1
     lc = score_network_config.coordinate_n_hidden_dimensions + 1
     ln = score_network_config.node_n_hidden_dimensions + 2

@@ -315,6 +315,21 @@ def main(argv=None):
     # then interpolate the tightest bracket (cliff case; see
     # select_noise_temperature).
     final_tau, final_r, interpolated = select_noise_temperature(probes)
+    # An interpolated tau is unverified; spend up to two extra probes
+    # measuring it so the emitted final_t_eff_over_t_data is always a real
+    # number (round-3 advisor: downstream consumers expect the float
+    # schema). Each verification lands in `probes`, so re-selection either
+    # adopts the measured point or tightens the bracket once more.
+    verification_budget = 2
+    while interpolated and verification_budget > 0:
+        verification_budget -= 1
+        t_ratio(final_tau)
+        final_tau, final_r, interpolated = select_noise_temperature(probes)
+    if final_r is None:
+        # Both verifications re-interpolated (pathological cliff): report
+        # the measured probe closest to the final tau rather than null.
+        nearest = min(probes, key=lambda p: abs(p["tau"] - final_tau))
+        final_r = float(nearest["t_eff_over_t_data"])
     best = (final_tau, final_r)
 
     result = {
