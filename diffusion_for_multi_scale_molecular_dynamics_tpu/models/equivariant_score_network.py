@@ -33,7 +33,10 @@ import jax
 import jax.numpy as jnp
 
 from ..namespace import ATOM_MASK, AXL, NOISE, NOISY_AXL_COMPOSITION, TIME
-from ..ops.geometry import map_lattice_parameters_to_unit_cell_vectors
+from ..ops.geometry import (
+    image_coverage_nan_guard,
+    map_lattice_parameters_to_unit_cell_vectors,
+)
 from ..ops.neighbors import get_orthogonal_min_image_displacements
 from .score_network import ScoreNetworkConfig, impose_non_mask_atomic_type_prediction
 
@@ -148,6 +151,11 @@ class EquivariantScoreNetwork(nn.Module):
                 source_mask = jnp.repeat(source_mask, n_images, axis=2)
             within = within & atom_mask[:, :, None] & source_mask
         edge_mask = within.astype(jnp.float32)
+        # A diffusing cell below grid coverage must fail loudly, not drop
+        # images silently (ops/geometry.py::image_coverage_nan_guard).
+        edge_mask = image_coverage_nan_guard(
+            edge_mask, lengths, cfg.radial_cutoff, shells
+        )
 
         safe_r = jnp.where(r_ij > 1e-8, r_ij, 1.0)
         unit = disp / safe_r[..., None]

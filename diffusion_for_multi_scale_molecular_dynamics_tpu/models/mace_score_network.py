@@ -25,7 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from ..namespace import ATOM_MASK, AXL, NOISE, NOISY_AXL_COMPOSITION, TIME
-from ..ops.geometry import map_lattice_parameters_to_unit_cell_vectors
+from ..ops.geometry import (
+    image_coverage_nan_guard,
+    map_lattice_parameters_to_unit_cell_vectors,
+)
 from ..ops.irreps_layers import IrrepsLinear, ScalarTensorProduct
 from ..ops.neighbors import get_orthogonal_min_image_displacements
 from ..ops.so3 import Irreps, irrep_to_vector, split_irreps, concat_irreps
@@ -240,6 +243,11 @@ class MaceScoreNetwork(nn.Module):
         nonzero = r2 > 1e-12
         distances = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
         pair_mask = (distances <= cfg.r_max) & nonzero
+        # A diffusing cell below grid coverage must fail loudly, not drop
+        # images silently (ops/geometry.py::image_coverage_nan_guard).
+        distances = image_coverage_nan_guard(
+            distances, lengths, cfg.r_max, shells
+        )
         atom_mask = batch.get(ATOM_MASK)
         if atom_mask is not None:
             source_mask = atom_mask[:, None, :]

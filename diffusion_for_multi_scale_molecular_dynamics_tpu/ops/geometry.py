@@ -135,3 +135,31 @@ def map_noisy_lattice_parameters_to_unit_cell_vectors(
     clipped = jnp.clip(lattice_parameters, min=min_box_size)
     clipped = clipped.at[..., d:].set(0.0)
     return map_lattice_parameters_to_unit_cell_vectors(clipped)
+
+
+def image_coverage_nan_guard(
+    values: jnp.ndarray,
+    box_lengths: jnp.ndarray,
+    radial_cutoff: float,
+    image_shells: int,
+) -> jnp.ndarray:
+    """Fail loudly (NaN) when the periodic-image grid cannot cover the cutoff.
+
+    A fixed pair grid over offsets {-s..s}^d reaches displacements of at
+    most (s + 1/2) x box per axis (s = 0 is the minimum-image path). If a
+    *diffusing* cell shrinks below ``radial_cutoff / (s + 1/2)``, images
+    inside the cutoff silently vanish from the graph — wrong physics with
+    no error. Cell size is data under jit, so this cannot raise; instead
+    samples whose cell fails coverage have ``values`` (a float edge mask or
+    distance tensor) replaced by NaN, which propagates to every score and
+    loss consuming them. The check costs one scalar compare per sample.
+
+    The reference sidesteps this by clipping the box to >= 2.2 r_max
+    (mace_score_network.py:170-175 in /root/reference), silently distorting
+    small-cell geometry instead; here geometry stays exact and
+    under-coverage is loud (PARITY "Known gaps", closed in round 4).
+    """
+    coverage = (image_shells + 0.5) * jnp.min(box_lengths, axis=-1)  # [B]
+    covered = coverage >= radial_cutoff
+    expand = covered.reshape(covered.shape + (1,) * (values.ndim - 1))
+    return jnp.where(expand, values, jnp.nan)

@@ -1,0 +1,277 @@
+"""Repaint fidelity gate on the trained Si 2x2x2 production checkpoint.
+
+BASELINE's fidelity gates include "repaint constraint satisfaction (tutorial
+notebooks 02/03 scenarios)". The reference demonstrates RePaint with an
+*analytical* score on a 2D toy grid (/root/reference/tutorials/repaint_02.ipynb,
+excise_and_repaint_03.ipynb); this experiment runs the stronger production
+version VERDICT r3 asks for: an excise-and-repaint scenario on the trained
+Si 2x2x2 checkpoint, scored with the native Stillinger-Weber oracle.
+
+Scenario (per sample):
+  1. Take a thermalized validation frame (64 atoms, 300 K MD data).
+  2. Carve the repaint region: a chosen atom plus its (k-1) nearest periodic
+     neighbors (default k=8) — these slots are *generated*; the remaining
+     56 atoms become the SamplingConstraint (reference flow:
+     src/.../generators/constrained_langevin_generator.py:94-165, excisors
+     in src/.../active_learning_loop/excisor/).
+  3. ConstrainedLangevinGenerator with the production sampling settings
+     (1000 steps x 3 correctors, force field (1.5, 20.0), probed
+     tau = 1.21 / window 0.02 — experiments/si_2x2x2_round2_eval_final.json).
+  4. Score the repainted structures with the SW oracle.
+
+Gates checked (written to experiments/repaint_si_2x2x2.json):
+  * exact constraint satisfaction — constrained coordinates and types in
+    the output equal the constraint bit-for-bit;
+  * energy parity — per-atom SW energies of repainted structures vs the
+    validation data distribution (KS + median);
+  * structural health — pair-distance KS vs data, plus the minimum
+    distance between any repainted atom and any other atom (no overlap /
+    void pathology in the healed region).
+"""
+
+import argparse
+import functools
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CELL = np.asarray([10.86, 10.86, 10.86], np.float64)
+
+
+def periodic_distances(x, y, cell):
+    """Min-image distances between [n,3] and [m,3] fractional coords."""
+    delta = x[:, None, :] - y[None, :, :]
+    delta -= np.round(delta)
+    return np.linalg.norm(delta * cell, axis=-1)
+
+
+def pair_distances(batch_x, cell, max_distance=5.0):
+    delta = batch_x[:, :, None, :] - batch_x[:, None, :, :]
+    delta -= np.round(delta)
+    d = np.linalg.norm(delta * cell, axis=-1)
+    n = batch_x.shape[1]
+    mask = ~np.eye(n, dtype=bool)
+    values = d[:, mask].ravel()
+    return values[values < max_distance]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--checkpoint", default="experiments/si_2x2x2_round2_checkpoint"
+    )
+    parser.add_argument("--prefer", default="last")
+    parser.add_argument("--data", default="data/si_diffusion_2x2x2")
+    parser.add_argument("--samples", type=int, default=64)
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--repaint_atoms", type=int, default=8,
+                        help="region size: central atom + (k-1) neighbors")
+    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--correctors", type=int, default=3)
+    parser.add_argument("--noise_temperature", type=float, default=1.21)
+    parser.add_argument("--sigma_window", type=float, default=0.02)
+    parser.add_argument("--force_field", type=float, nargs=2,
+                        default=[1.5, 20.0])
+    parser.add_argument("--seed", type=int, default=11)
+    parser.add_argument("--out", default="experiments/repaint_si_2x2x2.json")
+    args = parser.parse_args(argv)
+
+    import jax
+    import pandas as pd
+
+    from _ff_partial import wrap_force_field
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.generators import (
+        PredictorCorrectorSamplingParameters,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.generators.constrained_langevin_generator import (
+        ConstrainedLangevinGenerator,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.generators.sampling_constraint import (
+        SamplingConstraint,
+        write_sampling_constraint,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.namespace import AXL
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.noise_schedulers import (
+        NoiseParameters,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.oracle.energy_oracle_factory import (
+        resolve_sw_coefficients_path,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.oracle.stillinger_weber import (
+        StillingerWeberOracle,
+        StillingerWeberParameters,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.restore import (
+        load_axl_network_from_checkpoint,
+    )
+
+    enable_persistent_compilation_cache()
+
+    # --- data: one thermalized frame to carve, full set for distributions ---
+    paths = sorted(glob.glob(os.path.join(args.data, "valid_run_*.parquet")))
+    tables = [pd.read_parquet(p) for p in paths]
+    data_energies = np.concatenate(
+        [t["potential_energy"].to_numpy() for t in tables]
+    )
+    frame_table = tables[0]
+    frame = np.asarray(frame_table["relative_coordinates"].iloc[0]).reshape(-1, 3)
+    natoms = frame.shape[0]
+    data_coordinates = np.stack(
+        [np.asarray(r).reshape(-1, 3)
+         for r in frame_table["relative_coordinates"].head(256)]
+    )
+    reference_distances = pair_distances(data_coordinates, CELL)
+
+    # --- carve the repaint region: central atom + nearest neighbors ---
+    center_index = int(
+        np.argmin(periodic_distances(frame, np.full((1, 3), 0.5), CELL)[:, 0])
+    )
+    d_center = periodic_distances(frame, frame[center_index][None], CELL)[:, 0]
+    region = np.argsort(d_center)[: args.repaint_atoms]  # includes center (d=0)
+    keep = np.setdiff1d(np.arange(natoms), region)
+    print(
+        f"repaint region: {len(region)} atoms around atom {center_index} "
+        f"(max region radius {d_center[region].max():.2f} A); "
+        f"{len(keep)} constrained atoms",
+        flush=True,
+    )
+
+    constraint = SamplingConstraint(
+        elements=["Si"],
+        constrained_relative_coordinates=frame[keep],
+        constrained_atom_types=np.zeros(len(keep), np.int32),
+        constrained_indices=keep.astype(np.int32),
+    )
+    write_sampling_constraint(
+        constraint, os.path.splitext(args.out)[0] + "_constraint.pkl"
+    )
+
+    axl_network = load_axl_network_from_checkpoint(
+        args.checkpoint, prefer=args.prefer
+    )
+    axl_network = wrap_force_field(
+        axl_network, args.force_field[0], args.force_field[1]
+    )
+
+    generator = ConstrainedLangevinGenerator(
+        NoiseParameters(
+            total_time_steps=args.steps,
+            schedule_type="linear",
+            sigma_min=1e-4,
+            sigma_max=0.2,
+        ),
+        PredictorCorrectorSamplingParameters(
+            num_atom_types=1,
+            number_of_atoms=natoms,
+            number_of_samples=args.samples,
+            number_of_corrector_steps=args.correctors,
+            noise_temperature=args.noise_temperature,
+            temperature_sigma_max=args.sigma_window,
+            use_fixed_lattice_parameters=True,
+            cell_dimensions=CELL.tolist(),
+        ),
+        axl_network,
+        constraint,
+    )
+
+    oracle = StillingerWeberOracle(
+        StillingerWeberParameters(
+            name="stillinger_weber",
+            sw_coeff_filename=resolve_sw_coefficients_path("Si.sw"),
+            elements=["Si"],
+        )
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    xs, energies = [], []
+    t0 = time.perf_counter()
+    remaining = args.samples
+    while remaining > 0:
+        key, sub = jax.random.split(key)
+        n = min(args.batch, remaining)
+        samples = generator.sample(sub, n)
+        x = np.asarray(samples.X)
+        a = np.asarray(samples.A)
+        assert (a == 0).all(), "repaint left MASK or wrong atom types"
+        xs.append(x)
+        energies.append(
+            np.asarray(oracle.compute_oracle_energies_and_forces(samples)[0])
+        )
+        remaining -= n
+    seconds = time.perf_counter() - t0
+    x = np.concatenate(xs)
+    energies = np.concatenate(energies)
+
+    # --- gate 1: exact constraint satisfaction ---
+    constraint_error = float(
+        np.abs(
+            x[:, keep, :] - constraint.constrained_relative_coordinates[None]
+        ).max()
+    )
+    assert constraint_error == 0.0, (
+        f"constrained coordinates moved by up to {constraint_error}"
+    )
+
+    # --- gate 2: energy parity ---
+    from scipy.stats import ks_2samp
+
+    e_atom = energies / natoms
+    data_atom = data_energies / natoms
+    ks_energy = ks_2samp(e_atom, data_atom)
+
+    # --- gate 3: structural health of the healed region ---
+    sample_distances = pair_distances(x, CELL)
+    ks_structure = ks_2samp(sample_distances, reference_distances)
+    min_repaint_distance = np.inf
+    repaint_neighbor_distances = []
+    for s in range(x.shape[0]):
+        d = periodic_distances(x[s, region], x[s], CELL)
+        d[np.arange(len(region)), region] = np.inf  # self
+        min_repaint_distance = min(min_repaint_distance, float(d.min()))
+        repaint_neighbor_distances.append(d.min(axis=1))
+    repaint_neighbor_distances = np.concatenate(repaint_neighbor_distances)
+
+    result = {
+        "checkpoint": args.checkpoint,
+        "prefer": args.prefer,
+        "samples": int(args.samples),
+        "steps": args.steps,
+        "correctors": args.correctors,
+        "noise_temperature": args.noise_temperature,
+        "sigma_window": args.sigma_window,
+        "force_field": list(args.force_field),
+        "repaint_region_atoms": int(len(region)),
+        "constrained_atoms": int(len(keep)),
+        "region_radius_angstrom": float(d_center[region].max()),
+        "seconds": round(seconds, 1),
+        "constraint_max_abs_error": constraint_error,
+        "energy_per_atom_median": float(np.median(e_atom)),
+        "energy_per_atom_mean": float(e_atom.mean()),
+        "energy_per_atom_std": float(e_atom.std()),
+        "data_energy_per_atom_median": float(np.median(data_atom)),
+        "ks_energy": float(ks_energy.statistic),
+        "ks_energy_pvalue": float(ks_energy.pvalue),
+        "ks_structure": float(ks_structure.statistic),
+        "min_repaint_distance_angstrom": float(min_repaint_distance),
+        "repaint_nn_distance_median": float(
+            np.median(repaint_neighbor_distances)
+        ),
+        "data_nn_bond_angstrom": 2.35,
+    }
+    print(json.dumps(result, indent=1), flush=True)
+    with open(args.out, "w") as fh:
+        json.dump(result, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
