@@ -79,6 +79,7 @@ def test_custom_vjp_gradients_flow(inputs):
     )
 
 
+@pytest.mark.slow
 def test_fused_egnn_network_properties(rng_key):
     """The fused-path EGNN keeps the torus symmetries."""
     from diffusion_for_multi_scale_molecular_dynamics_tpu.models import (
@@ -163,6 +164,7 @@ def test_pallas_backward_matches_dense_vjp(inputs, tanh, block_rows):
         )
 
 
+@pytest.mark.slow
 def test_training_through_fused_block_uses_pallas_backward(inputs):
     """An optimization step through the fused op decreases the loss with the
     Pallas backward enabled (the production training path)."""

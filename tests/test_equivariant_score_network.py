@@ -101,6 +101,7 @@ def test_permutation_equivariance(network_and_params, rng_key):
     )
 
 
+@pytest.mark.slow
 def test_mlp_head_and_factory(rng_key):
     # "mace" now resolves to the faithful MACE network (its own config
     # surface, tests/test_mace_score_network.py); the scalar/vector/tensor
@@ -148,6 +149,7 @@ def test_pretrained_loading_raises():
         )
 
 
+@pytest.mark.slow
 def test_l2_tensor_path_is_live(rng_key):
     """max_ell=2 creates rank-2 feature parameters and gradients flow
     through them (the l=2 channels influence the score output)."""
@@ -186,6 +188,7 @@ def test_l2_tensor_path_is_live(rng_key):
     assert max(p_grads) > 0, "tensor-path parameters receive zero gradient"
 
 
+@pytest.mark.slow
 def test_l2_trains_on_si_1x1x1():
     """The max_ell=2 network fits Si 1x1x1 MD data (loss decreases)."""
     import os

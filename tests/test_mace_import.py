@@ -67,6 +67,7 @@ def batch():
     }
 
 
+@pytest.mark.slow
 def test_export_import_roundtrip(config, batch):
     network = MaceScoreNetwork(config)
     params = network.init(jax.random.PRNGKey(0), batch)

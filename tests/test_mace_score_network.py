@@ -326,6 +326,7 @@ class TestSymmetricContraction:
         assert not np.allclose(np.asarray(out0), np.asarray(out1))
 
 
+@pytest.mark.slow
 def test_mace_supercell_consistency():
     """Per-atom Cartesian scores are invariant under cell duplication.
 
