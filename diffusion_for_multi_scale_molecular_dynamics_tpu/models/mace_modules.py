@@ -261,6 +261,12 @@ class MaceInteraction(nn.Module):
     residual: bool = True
     # Residual skip target irreps (the hidden irreps of the layer).
     irreps_skip: str = ""
+    # Pallas-fused edge pipeline (radial MLP + tensor product + aggregation
+    # in VMEM, models/mace_edge_fused.py): removes the two per-pair HBM
+    # tensors that dominate the dense path's wall time at small channel
+    # counts. Same parameters, same algebra; backward falls back to the
+    # dense reference through a custom VJP.
+    use_fused_edge_kernel: bool = False
 
     @nn.compact
     def __call__(self, node_feats, node_attrs, harmonics, distances, pair_mask):
@@ -284,9 +290,65 @@ class MaceInteraction(nn.Module):
             distances, self.r_max, self.num_polynomial_cutoff
         )
         radial = (radial * envelope[..., None]).astype(node_feats.dtype)
-        tp_weights = RadialMLP(
+        radial_module = RadialMLP(
             tuple(self.radial_mlp), len(paths) * channels, name="conv_tp_weights"
-        )(radial)
+        )
+
+        if self.use_fused_edge_kernel:
+            from .mace_edge_fused import (
+                build_edge_block_meta,
+                features_to_a_major,
+                fused_edge_block,
+                output_to_irreps_flat,
+            )
+
+            # Materialize the radial-MLP parameters without running the big
+            # dense program (the dummy call is dead code XLA removes).
+            _ = radial_module(jnp.zeros((1, self.num_bessel), radial.dtype))
+            mlp_params = dict(
+                self.scope.get_variable("params", "conv_tp_weights")
+            )
+            meta = build_edge_block_meta(irreps_in, self.lmax_sh, irreps_target)
+            natoms = feats_up.shape[1]
+            n_images = distances.shape[2] // natoms
+            sources = (
+                jnp.repeat(feats_up, n_images, axis=1)
+                if n_images > 1 else feats_up
+            )
+            # Masking contract: zero basis rows (the MLP has no biases).
+            rb = (
+                radial * pair_mask[..., None].astype(radial.dtype)
+            ).astype(jnp.float32)
+            out4 = fused_edge_block(
+                mlp_params,
+                rb,
+                features_to_a_major(sources.astype(jnp.float32), meta),
+                harmonics.astype(jnp.float32),
+                meta,
+            )
+            aggregated = (
+                output_to_irreps_flat(out4, meta) / self.avg_num_neighbors
+            ).astype(node_feats.dtype)
+            aggregated = IrrepsLinear(
+                str(irreps_target), str(irreps_target), name="linear"
+            )(aggregated)
+            if self.residual:
+                skip = ScalarTensorProduct(
+                    f"{self.num_elements}x0e",
+                    str(irreps_in),
+                    self.irreps_skip,
+                    name="skip_tp",
+                )(node_attrs.astype(node_feats.dtype), node_feats)
+                return aggregated, skip
+            skip_mixed = ScalarTensorProduct(
+                f"{self.num_elements}x0e",
+                str(irreps_target),
+                str(irreps_target),
+                name="skip_tp",
+            )(node_attrs.astype(node_feats.dtype), aggregated)
+            return skip_mixed, None
+
+        tp_weights = radial_module(radial)
         # Mask invalid pairs (self edges, padding, beyond cutoff): the
         # harmonics of zero/padded displacements are nonzero for even l, so
         # masking the weights is what zeroes those messages.
@@ -354,6 +416,7 @@ class MaceFeatureExtractor(nn.Module):
     num_polynomial_cutoff: int = 5
     avg_num_neighbors: float = 1.0
     radial_mlp: Tuple[int, ...] = (64, 64, 64)
+    use_fused_edge_kernel: bool = False
 
     @nn.compact
     def __call__(self, node_attrs, vectors, distances, pair_mask, conditioning=None):
@@ -402,6 +465,7 @@ class MaceFeatureExtractor(nn.Module):
                 num_polynomial_cutoff=self.num_polynomial_cutoff,
                 r_max=self.r_max,
                 residual=index > 0,
+                use_fused_edge_kernel=self.use_fused_edge_kernel,
                 name=f"interaction_{index}",
             )(node_feats, node_attrs, harmonics, distances, pair_mask)
             contracted = SymmetricContraction(

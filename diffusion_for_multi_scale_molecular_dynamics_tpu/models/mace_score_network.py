@@ -102,6 +102,10 @@ class MaceScoreNetworkConfig(ScoreNetworkConfig):
     # r_max 4.5) the first neighbor shell lands at r/r_max = 0.95 where the
     # polynomial cutoff envelope is ~0 and the trunk goes geometry-blind.
     image_shells: int = 1
+    # Pallas-fused edge pipeline (models/mace_edge_fused.py): same
+    # parameters and algebra as the dense path, per-pair tensors kept in
+    # VMEM. Checkpoint-compatible in both directions (no layout change).
+    use_fused_edge_kernel: bool = False
 
     def __post_init__(self):
         assert self.prediction_head in ("mlp", "equivariant")
@@ -283,6 +287,7 @@ class MaceScoreNetwork(nn.Module):
             num_polynomial_cutoff=cfg.num_polynomial_cutoff,
             avg_num_neighbors=cfg.avg_num_neighbors,
             radial_mlp=tuple(cfg.radial_mlp),
+            use_fused_edge_kernel=cfg.use_fused_edge_kernel,
             name="mace",
         )
         if cfg.condition_on_sigma:

@@ -234,6 +234,21 @@ def main(argv=None):
         lambda b: bf16_network.apply(params, b, False)
     )
 
+    # Pallas-fused edge pipeline (same params — checkpoint-compatible).
+    hyper["model"]["score_network"]["compute_dtype"] = "float32"
+    hyper["model"]["score_network"]["use_fused_edge_kernel"] = True
+    fused_network, _ = load_diffusion_model(hyper)
+    results["full_fused_ms"] = time_network(
+        lambda b: fused_network.apply(params, b, False)
+    )
+    out_dense = fp32_network(batch)
+    out_fused = fused_network.apply(params, batch, False)
+    import numpy as np
+
+    results["fused_max_abs_diff_X"] = float(
+        np.abs(np.asarray(out_fused.X) - np.asarray(out_dense.X)).max()
+    )
+
     stage_sum = (
         2 * (results["edge_radial_ms"] + results["edge_tp_ms"])
         + 4 * results["node_linear_ms"]

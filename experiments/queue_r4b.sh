@@ -73,4 +73,17 @@ run_job al_campaign_r4 \
 run_job mace_profile_r4 \
   timeout 3600 python experiments/mace_profile.py --batch 256
 
+# ------------- F: Si 3x3x3 corrector-budget probe (bistability follow-up)
+# The r4a probe found a cliff at tau ~ 1.0006: the ensemble is a mixture of
+# an ordered (cold, ratio 0.80) and a melted branch no tau can separate.
+# More corrector substeps add thermalization budget at each noise level —
+# probe whether correctors=6 moves the ordered branch's ratio toward 1.
+run_job probe_si3_c6_r4 \
+  timeout 4500 python experiments/probe_reheat.py \
+  --checkpoint experiments/si_3x3x3_checkpoint_r3l_fused --prefer last \
+  --data data/si_diffusion_3x3x3 --elements Si --sw Si.sw \
+  --cell 16.29 16.29 16.29 --natoms 216 --steps 1000 --correctors 6 \
+  --samples 16 --batch 16 --force_field 1.5 20.0 --max_probes 4 \
+  --out experiments/reheat_probe_si3x3x3_c6_r4.json
+
 log "=== r4b queue done ==="
