@@ -156,7 +156,7 @@ def main():
         "sample_box_size": [5.543, 5.543, 5.543],
         "number_of_samples_per_substructure": 4,
         "atom_selector": {"algorithm": "top_k", "top_k_environment": 1},
-        "excisor": {"algorithm": "spherical_excision", "radial_cutoff": 2.9},
+        "excisor": {"algorithm": "spherical_cutoff", "radial_cutoff": 2.9},
         "repaint_generator": {
             "noise": {
                 "total_time_steps": 500,
