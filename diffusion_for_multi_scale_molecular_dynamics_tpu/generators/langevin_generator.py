@@ -336,7 +336,39 @@ class LangevinGenerator(AXLGenerator):
         """
         return composition
 
-    def _substep(self, key, composition: AXL, idx, is_predictor) -> Tuple[AXL, AXL]:
+    def _renoise_one_step(self, key, composition: AXL, idx) -> AXL:
+        """Forward-noise one level up, t_idx -> t_{idx+1} (RePaint jump).
+
+        X gains sqrt(sigma_{i}^2 - sigma_{i-1}^2) = sqrt(g^2_idx) of fresh
+        noise (the exact one-step forward kernel of the VE process); A takes
+        one step of the D3PM forward chain (q_matrix[idx]); L mirrors X with
+        the per-atom-count sigma scaling unless the lattice is fixed.
+        """
+        from ..noisers import (
+            get_noisy_atom_types_sample,
+            get_noisy_relative_coordinates_sample,
+        )
+
+        noise = self.schedule.noise
+        key_x, key_a, key_l = jax.random.split(key, 3)
+        dsigma = jnp.sqrt(noise.g_squared[idx])
+        x = get_noisy_relative_coordinates_sample(
+            key_x, composition.X, jnp.full_like(composition.X, dsigma)
+        )
+        a_onehot = class_index_to_onehot(composition.A, self.num_classes)
+        a = get_noisy_atom_types_sample(key_a, a_onehot, noise.q_matrix[idx])
+        if self.sampling_parameters.use_fixed_lattice_parameters:
+            lattice = composition.L
+        else:
+            z_l = jax.random.normal(
+                key_l, composition.L.shape, composition.L.dtype
+            )
+            lattice = composition.L + self._sigma_n(dsigma) * z_l
+        return AXL(A=a, X=x, L=lattice)
+
+    def _substep(
+        self, key, composition: AXL, idx, is_predictor, do_renoise=False
+    ) -> Tuple[AXL, AXL]:
         """One predictor-or-corrector update as a single shared program.
 
         The predictor/corrector distinction is a *value* (``is_predictor``),
@@ -349,6 +381,15 @@ class LangevinGenerator(AXLGenerator):
         predictor_corrector_axl_generator.py:112-147).
         """
         noise = self.schedule.noise
+        if not (isinstance(do_renoise, bool) and do_renoise is False):
+            # RePaint resampling: jump back one level (fresh forward noise),
+            # then run this (predictor) substep again. Selected by value so
+            # the substep stays one shared compiled program.
+            key, key_renoise = jax.random.split(key)
+            renoised = self._renoise_one_step(key_renoise, composition, idx)
+            composition = jax.tree_util.tree_map(
+                lambda r, c: jnp.where(do_renoise, r, c), renoised, composition
+            )
         sigma_i = jnp.where(is_predictor, noise.sigma[idx], self._corrector_sigma[idx])
         t_i = jnp.where(is_predictor, noise.time[idx], self._corrector_time[idx])
         sigma_n_i = self._sigma_n(sigma_i)
@@ -424,32 +465,58 @@ class LangevinGenerator(AXLGenerator):
         (1 + n_correctors) times — the dominant compile-time cost.
         """
         n_corr = self.sampling_parameters.number_of_corrector_steps
+        n_resample = getattr(
+            self.sampling_parameters, "repaint_resample_steps", 0
+        )
 
         if not record:
-            # Flatten (time step, substep) into ONE scan over (idx, flag)
-            # pairs: [(i, pred), (i, corr) x n_corr, (i-1, pred), ...]. The
-            # body is a single shared substep program — the network appears
-            # once in the compiled HLO, with no nested-loop structure.
+            # Flatten (time step, substep) into ONE scan over (idx, flag,
+            # renoise) triples: [(i, pred, F), (i, pred, T) x n_resample,
+            # (i, corr, F) x n_corr, (i-1, pred, F), ...]. The body is a
+            # single shared substep program — the network appears once in
+            # the compiled HLO, with no nested-loop structure.
             n_steps = indices.shape[0]
-            flat_indices = jnp.repeat(indices, 1 + n_corr)
+            per_step = 1 + n_resample + n_corr
+            flat_indices = jnp.repeat(indices, per_step)
             flags = jnp.tile(
                 jnp.concatenate(
-                    [jnp.ones((1,), bool), jnp.zeros((n_corr,), bool)]
+                    [jnp.ones((1 + n_resample,), bool), jnp.zeros((n_corr,), bool)]
+                ),
+                n_steps,
+            )
+            renoise_flags = jnp.tile(
+                jnp.concatenate(
+                    [
+                        jnp.zeros((1,), bool),
+                        jnp.ones((n_resample,), bool),
+                        jnp.zeros((n_corr,), bool),
+                    ]
                 ),
                 n_steps,
             )
 
             def body(carry, step):
-                idx, is_predictor = step
+                # Without resampling the renoise flag is a static False, so
+                # the compiled substep is bit-identical to the pre-resample
+                # program (no dead renoise computation).
+                if n_resample:
+                    idx, is_predictor, do_renoise = step
+                else:
+                    (idx, is_predictor), do_renoise = step, False
                 composition, key = carry
                 key, key_sub = jax.random.split(key)
                 composition, _ = self._substep(
-                    key_sub, composition, idx, is_predictor
+                    key_sub, composition, idx, is_predictor, do_renoise
                 )
                 return (composition, key), None
 
+            xs = (
+                (flat_indices, flags, renoise_flags)
+                if n_resample
+                else (flat_indices, flags)
+            )
             (composition, key), records = jax.lax.scan(
-                body, (composition, key), (flat_indices, flags)
+                body, (composition, key), xs
             )
             return composition, key, records
 
@@ -460,6 +527,12 @@ class LangevinGenerator(AXLGenerator):
             composition, predictions = self.predictor_step(
                 key_pred, composition, idx
             )
+            for _ in range(n_resample):
+                key, key_re = jax.random.split(key)
+                composition, _ = self._substep(
+                    key_re, composition, idx, is_predictor=True,
+                    do_renoise=jnp.asarray(True),
+                )
             composition_pred = composition
             for _ in range(n_corr):
                 key, key_corr = jax.random.split(key)

@@ -19,6 +19,14 @@ class PredictorCorrectorSamplingParameters(SamplingParameters):
     one_atom_type_transition_per_step: bool = True
     atom_type_greedy_sampling: bool = True
     atom_type_transition_in_corrector: bool = False
+    # RePaint resampling (Lugmayr et al. 2022, Alg. 2): after each predictor
+    # step, jump back (renoise one step up) and re-predict this many extra
+    # times. Harmonizes inpainted regions with constraints — the constrained
+    # generator's repaint overwrite runs after every re-prediction. The
+    # reference's ConstrainedLangevinGenerator has no resampling (its
+    # predictor_step:94 overwrites once per level); 0 reproduces it exactly.
+    # Cost: predictor network calls x (1 + repaint_resample_steps).
+    repaint_resample_steps: int = 0
     # Scale on the corrector noise: the corrector samples p(x)^(1/T) with
     # T = corrector_temperature^2 relative to the learned score. 1.0 is the
     # reference's (implicit) value; repeated correctors tend to quench the

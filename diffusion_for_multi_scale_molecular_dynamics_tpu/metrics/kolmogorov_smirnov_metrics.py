@@ -23,6 +23,16 @@ def compute_kolmogorov_smirnov_distance_and_pvalue(
     """
     from scipy.stats import ks_2samp
 
+    # NaNs (e.g. oracle energies of degenerate early-training samples) make
+    # ks_2samp return NaN, which would poison the logged metric and the
+    # model-checkpoint monitor. Treat them as maximal disagreement (+inf —
+    # infinities sort to the tail and count against the CDF match).
+    predicted_samples = np.nan_to_num(
+        np.asarray(predicted_samples, dtype=np.float64), nan=np.inf
+    )
+    reference_samples = np.nan_to_num(
+        np.asarray(reference_samples, dtype=np.float64), nan=np.inf
+    )
     result = ks_2samp(predicted_samples, reference_samples, method="auto")
     return float(result.statistic), float(result.pvalue)
 

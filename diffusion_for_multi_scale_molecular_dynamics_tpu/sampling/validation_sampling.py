@@ -205,10 +205,28 @@ def _histogram_figure(reference, predicted, xlabel):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    # Early / degenerate samples can carry non-finite oracle energies (e.g.
+    # overlapping atoms before the model has learned, a collapsing free
+    # lattice); np.histogram raises on an inf range and that exception would
+    # abort the whole training run. Plot the finite subset and count the rest.
+    reference = np.asarray(reference)
+    predicted = np.asarray(predicted)
+    finite_reference = reference[np.isfinite(reference)]
+    finite_predicted = predicted[np.isfinite(predicted)]
+    dropped = predicted.size - finite_predicted.size
+
     fig, ax = plt.subplots(figsize=(6, 4))
     bins = 40
-    ax.hist(reference, bins=bins, alpha=0.5, density=True, label="reference")
-    ax.hist(predicted, bins=bins, alpha=0.5, density=True, label="generated")
+    if finite_reference.size:
+        ax.hist(finite_reference, bins=bins, alpha=0.5, density=True,
+                label="reference")
+    if finite_predicted.size:
+        label = (
+            "generated" if not dropped
+            else f"generated ({dropped} non-finite dropped)"
+        )
+        ax.hist(finite_predicted, bins=bins, alpha=0.5, density=True,
+                label=label)
     ax.set_xlabel(xlabel)
     ax.set_ylabel("density")
     ax.legend()

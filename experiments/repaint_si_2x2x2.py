@@ -80,6 +80,18 @@ def main(argv=None):
     parser.add_argument("--force_field", type=float, nargs=2,
                         default=[1.5, 20.0])
     parser.add_argument("--seed", type=int, default=11)
+    parser.add_argument(
+        "--resample_steps", type=int, default=0,
+        help="RePaint resampling jumps per level (Lugmayr et al. Alg. 2); "
+        "0 = the reference's single-overwrite behaviour",
+    )
+    parser.add_argument(
+        "--start_sigma", type=float, default=None,
+        help="partial denoising: start from the constraint frame noised to "
+        "this sigma (region slots uniform) instead of full noise — anchors "
+        "the global registry the translation-invariant model cannot infer "
+        "from heavily-noised constraints",
+    )
     parser.add_argument("--out", default="experiments/repaint_si_2x2x2.json")
     args = parser.parse_args(argv)
 
@@ -163,26 +175,77 @@ def main(argv=None):
         axl_network, args.force_field[0], args.force_field[1]
     )
 
-    generator = ConstrainedLangevinGenerator(
-        NoiseParameters(
-            total_time_steps=args.steps,
-            schedule_type="linear",
-            sigma_min=1e-4,
-            sigma_max=0.2,
-        ),
-        PredictorCorrectorSamplingParameters(
+    noise_parameters = NoiseParameters(
+        total_time_steps=args.steps,
+        schedule_type="linear",
+        sigma_min=1e-4,
+        sigma_max=0.2,
+    )
+
+    def make_generator(chunk_size, chunk_seed):
+        sampling_parameters = PredictorCorrectorSamplingParameters(
             num_atom_types=1,
             number_of_atoms=natoms,
-            number_of_samples=args.samples,
+            number_of_samples=chunk_size,
             number_of_corrector_steps=args.correctors,
             noise_temperature=args.noise_temperature,
             temperature_sigma_max=args.sigma_window,
             use_fixed_lattice_parameters=True,
             cell_dimensions=CELL.tolist(),
-        ),
-        axl_network,
-        constraint,
-    )
+            repaint_resample_steps=args.resample_steps,
+        )
+        trajectory_initializer = None
+        if args.start_sigma is not None:
+            import tempfile
+
+            from diffusion_for_multi_scale_molecular_dynamics_tpu.generators.trajectory_initializer import (
+                StartFromGivenConfigurationTrajectoryInitializer,
+                TrajectoryInitializerParameters,
+                write_starting_configuration,
+            )
+            from diffusion_for_multi_scale_molecular_dynamics_tpu.noise_schedulers import (
+                build_noise_schedule,
+            )
+
+            schedule = build_noise_schedule(noise_parameters, 2)
+            sigmas = np.asarray(schedule.noise.sigma)
+            start_index = int(np.searchsorted(sigmas, args.start_sigma)) + 1
+            rng = np.random.RandomState(chunk_seed)
+            x0 = np.broadcast_to(frame, (chunk_size, natoms, 3)).copy()
+            x0[:, region] = rng.uniform(size=(chunk_size, len(region), 3))
+            sigma_eff = sigmas[start_index - 1]
+            x_start = (
+                x0 + sigma_eff * rng.normal(size=x0.shape)
+            ) % 1.0
+            start = AXL(
+                A=np.zeros((chunk_size, natoms), np.int32),
+                X=x_start.astype(np.float32),
+                L=np.broadcast_to(
+                    np.asarray(CELL.tolist() + [0.0] * 3, np.float32),
+                    (chunk_size, 6),
+                ),
+            )
+            with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as fh:
+                write_starting_configuration(fh.name, start, start_index)
+                path = fh.name
+            trajectory_initializer = (
+                StartFromGivenConfigurationTrajectoryInitializer(
+                    TrajectoryInitializerParameters(
+                        num_atom_types=1,
+                        number_of_atoms=natoms,
+                        use_fixed_lattice_parameters=True,
+                        fixed_lattice_parameters=CELL.tolist() + [0.0] * 3,
+                        path_to_starting_configuration_data_pickle=path,
+                    )
+                )
+            )
+        return ConstrainedLangevinGenerator(
+            noise_parameters,
+            sampling_parameters,
+            axl_network,
+            constraint,
+            trajectory_initializer=trajectory_initializer,
+        )
 
     oracle = StillingerWeberOracle(
         StillingerWeberParameters(
@@ -196,9 +259,12 @@ def main(argv=None):
     xs, energies = [], []
     t0 = time.perf_counter()
     remaining = args.samples
+    chunk_seed = args.seed
     while remaining > 0:
         key, sub = jax.random.split(key)
         n = min(args.batch, remaining)
+        chunk_seed += 1
+        generator = make_generator(n, chunk_seed)
         samples = generator.sample(sub, n)
         x = np.asarray(samples.X)
         a = np.asarray(samples.A)
@@ -250,6 +316,8 @@ def main(argv=None):
         "noise_temperature": args.noise_temperature,
         "sigma_window": args.sigma_window,
         "force_field": list(args.force_field),
+        "resample_steps": args.resample_steps,
+        "start_sigma": args.start_sigma,
         "repaint_region_atoms": int(len(region)),
         "constrained_atoms": int(len(keep)),
         "region_radius_angstrom": float(d_center[region].max()),
@@ -271,6 +339,14 @@ def main(argv=None):
     print(json.dumps(result, indent=1), flush=True)
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1)
+    np.savez_compressed(
+        os.path.splitext(args.out)[0] + "_samples.npz",
+        relative_coordinates=x[:8],
+        region=region,
+        keep=keep,
+        frame=frame,
+        energies=energies,
+    )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,116 @@
+"""RePaint resampling (repaint_resample_steps) — structure and invariants.
+
+The resampling loop (Lugmayr et al. 2022, Alg. 2) jumps back one noise
+level after each predictor step and re-predicts, re-applying the constraint
+overwrite each time. The reference has no counterpart (its
+constrained_langevin_generator.py:94 overwrites once per level);
+repaint_resample_steps=0 must reproduce the old program exactly.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_for_multi_scale_molecular_dynamics_tpu.generators import (
+    LangevinGenerator,
+    PredictorCorrectorSamplingParameters,
+)
+from diffusion_for_multi_scale_molecular_dynamics_tpu.generators.constrained_langevin_generator import (
+    ConstrainedLangevinGenerator,
+)
+from diffusion_for_multi_scale_molecular_dynamics_tpu.generators.sampling_constraint import (
+    SamplingConstraint,
+)
+from diffusion_for_multi_scale_molecular_dynamics_tpu.namespace import AXL
+from diffusion_for_multi_scale_molecular_dynamics_tpu.noise_schedulers import (
+    NoiseParameters,
+)
+
+N_ATOMS = 4
+NOISE = NoiseParameters(
+    total_time_steps=12, schedule_type="linear", sigma_min=1e-3, sigma_max=0.3
+)
+
+
+def fake_network(batch):
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.namespace import (
+        NOISY_AXL_COMPOSITION,
+    )
+
+    composition = batch[NOISY_AXL_COMPOSITION]
+    logits = jnp.zeros(composition.A.shape + (2,))
+    logits = logits.at[..., 1].set(-1e9)  # always predict type 0
+    return AXL(
+        A=logits,
+        X=-0.1 * jnp.sin(2 * jnp.pi * composition.X),
+        L=jnp.zeros_like(composition.L),
+    )
+
+
+def make_params(resample_steps):
+    return PredictorCorrectorSamplingParameters(
+        num_atom_types=1,
+        number_of_atoms=N_ATOMS,
+        number_of_samples=3,
+        number_of_corrector_steps=1,
+        use_fixed_lattice_parameters=True,
+        cell_dimensions=[5.0, 5.0, 5.0],
+        repaint_resample_steps=resample_steps,
+    )
+
+
+def test_zero_resample_steps_reproduce_previous_samples():
+    """U=0 must be bit-identical to the pre-resampling scan program."""
+    baseline = LangevinGenerator(NOISE, make_params(0), fake_network)
+    samples = baseline.sample(jax.random.PRNGKey(0), 3)
+    again = LangevinGenerator(NOISE, make_params(0), fake_network).sample(
+        jax.random.PRNGKey(0), 3
+    )
+    np.testing.assert_array_equal(np.asarray(samples.X), np.asarray(again.X))
+    assert not (np.asarray(samples.A) == 1).any()
+
+
+def test_resampling_runs_and_keeps_invariants():
+    generator = LangevinGenerator(NOISE, make_params(2), fake_network)
+    samples = generator.sample(jax.random.PRNGKey(1), 3)
+    x = np.asarray(samples.X)
+    assert np.isfinite(x).all() and (x >= 0).all() and (x < 1).all()
+    assert not (np.asarray(samples.A) == 1).any(), "MASK atoms left"
+
+
+def test_constrained_resampling_satisfies_constraints_exactly():
+    constraint = SamplingConstraint(
+        elements=["Si"],
+        constrained_relative_coordinates=np.asarray(
+            [[0.25, 0.25, 0.25], [0.75, 0.75, 0.75]], np.float32
+        ),
+        constrained_atom_types=np.zeros(2, np.int32),
+        constrained_indices=np.asarray([0, 2], np.int32),
+    )
+    generator = ConstrainedLangevinGenerator(
+        NOISE, make_params(2), fake_network, constraint
+    )
+    samples = generator.sample(jax.random.PRNGKey(2), 3)
+    x = np.asarray(samples.X)
+    np.testing.assert_array_equal(
+        x[:, [0, 2]],
+        np.broadcast_to(
+            constraint.constrained_relative_coordinates, (3, 2, 3)
+        ),
+    )
+    assert not (np.asarray(samples.A) == 1).any()
+
+
+def test_record_path_supports_resampling():
+    params = make_params(1)
+    params = type(params)(
+        **{
+            **{f: getattr(params, f) for f in params.__dataclass_fields__},
+            "record_samples": True,
+        }
+    )
+    generator = LangevinGenerator(NOISE, params, fake_network)
+    samples = generator.sample(jax.random.PRNGKey(3), 3)
+    assert np.isfinite(np.asarray(samples.X)).all()
