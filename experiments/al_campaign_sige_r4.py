@@ -217,13 +217,20 @@ def main():
         entries = []
         for row in rows:
             structure = row["structure"]
-            symbols = [str(site.specie) for site in structure]
+            symbols = list(structure.species)
             constrained = np.asarray(structure.site_properties["constrained"])
             forces = np.asarray(structure.site_properties["forces"])
+            delta = (
+                structure.frac_coords[:, None, :]
+                - structure.frac_coords[None, :, :]
+            )
+            delta -= np.round(delta)
+            distances = np.linalg.norm(
+                delta @ structure.cell, axis=-1
+            )
+            off_diagonal = ~np.eye(len(structure), dtype=bool)
             dmin = (
-                float(structure.distance_matrix[
-                    ~np.eye(len(structure), dtype=bool)
-                ].min())
+                float(distances[off_diagonal].min())
                 if len(structure) > 1
                 else None
             )
