@@ -83,6 +83,7 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--correctors", type=int, default=3)
     parser.add_argument("--out", default="experiments/arch_timing.json")
+    parser.add_argument("--mace_fused", action="store_true")
     args = parser.parse_args(argv)
 
     import jax
@@ -141,6 +142,35 @@ def main(argv=None):
         if (mace_flops and peak) else None,
     }
     print("mace:", results["architectures"]["mace"], flush=True)
+
+    if args.mace_fused:
+        # Same checkpoint parameters through the Pallas-fused edge pipeline
+        # (models/mace_edge_fused.py); FLOPs are algebraically identical to
+        # the dense program, so the dense cost analysis carries over.
+        import yaml
+
+        from diffusion_for_multi_scale_molecular_dynamics_tpu.training.instantiate_diffusion_model import (
+            load_diffusion_model,
+        )
+
+        with open(os.path.join(mace_ckpt, "config_backup.yaml")) as fh:
+            hyper = yaml.safe_load(fh)
+        hyper["model"]["score_network"]["use_fused_edge_kernel"] = True
+        fused_network, _ = load_diffusion_model(hyper)
+        mace_params = mace.args[0]
+        fused_t = _time_forward(
+            lambda b: fused_network.apply(mace_params, b, False), batch
+        )
+        results["architectures"]["mace_fused_edge"] = {
+            "checkpoint": mace_ckpt,
+            "forward_ms": round(fused_t * 1e3, 3),
+            "flops_per_forward": mace_flops,
+            "samples_per_s_500x4": round(batch_size / (forwards * fused_t), 3),
+            "mfu": round(mace_flops / fused_t / peak, 5)
+            if (mace_flops and peak) else None,
+        }
+        print("mace_fused_edge:",
+              results["architectures"]["mace_fused_edge"], flush=True)
 
     # ----------------------------------------------------------------- EGNN
     network, params, _ = _flagship_pieces(

@@ -43,6 +43,15 @@ def main():
 
     bench.main()
 
+    # The driver also compile-checks __graft_entry__.entry() single-chip;
+    # keep that program warm too.
+    import jax
+
+    from __graft_entry__ import entry
+
+    forward, example_args = entry()
+    jax.block_until_ready(jax.jit(forward)(*example_args).X)
+
     cache_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_compilation_cache",
