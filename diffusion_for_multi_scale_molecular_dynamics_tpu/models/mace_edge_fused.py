@@ -178,19 +178,67 @@ def dense_edge_block(params, radial_basis, features_a_major, harmonics,
     return out
 
 
+def _path_expanded_layout(meta: EdgeBlockMeta):
+    """Column layout [sum_p a_p * U] with one (path, a)-major block per path.
+
+    Both the expanded source features and the expanded radial weights use
+    it, so the kernel's G = f_exp * w_exp is a single elementwise multiply
+    and each path's J-contraction is one contiguous column slice.
+    """
+    spans = []
+    offset = 0
+    for i_f, _, _ in meta.paths:
+        a_dim = meta.irreps_features[i_f][1].dim
+        spans.append((offset, a_dim))
+        offset += a_dim * meta.channels
+    return spans, offset
+
+
+def expand_features_for_paths(features_a_major, meta: EdgeBlockMeta):
+    """[..., feature_dim] a-major -> [..., sum_p a_p*U] path-expanded."""
+    U = meta.channels
+    pieces = []
+    for i_f, _, _ in meta.paths:
+        a_dim = meta.irreps_features[i_f][1].dim
+        off = meta.feature_offsets[i_f]
+        pieces.append(features_a_major[..., off:off + a_dim * U])
+    return jnp.concatenate(pieces, axis=-1)
+
+
+def expand_last_layer_for_paths(w_last, meta: EdgeBlockMeta):
+    """[H, n_paths*U] -> [H, sum_p a_p*U]: per-path column block repeated a_p x."""
+    U = meta.channels
+    pieces = []
+    for p_index, (i_f, _, _) in enumerate(meta.paths):
+        a_dim = meta.irreps_features[i_f][1].dim
+        block = w_last[:, p_index * U:(p_index + 1) * U]
+        pieces.extend([block] * a_dim)
+    return jnp.concatenate(pieces, axis=-1)
+
+
 def _edge_kernel(
     rb_ref, f_ref, y_ref, *param_refs, out_ref, meta: EdgeBlockMeta,
-    n_mlp_layers: int, param_names: Sequence[str],
+    n_mlp_layers: int, param_names: Sequence[str], natoms: int, n_pairs: int,
 ):
-    # param_refs = MLP weights, then one Clebsch-Gordan [b, c] slice per
-    # (path, a) — Pallas kernels cannot capture array constants.
-    params = {
-        name: ref[:] for name, ref in zip(param_names, param_refs)
-    }
+    """One grid program per batch element (v2).
+
+    The v1 kernel ran one program per (batch element, target atom) and was
+    grid-overhead-bound: 2048 programs x ~10 us beat the dense path's
+    6.96 ms outright (experiments/mace_profile.json, full_fused_ms 21.4).
+    v2 collapses the grid to (batch,) and batches the per-(path, a)
+    channel multiplies into one elementwise product on the path-expanded
+    layout, leaving ~n_paths J-contraction GEMMs per target atom.
+
+    param_refs = MLP weights (last layer pre-expanded to the path layout),
+    then one Clebsch-Gordan [b, c] slice per (path, a).
+    """
+    params = {name: ref[:] for name, ref in zip(param_names, param_refs)}
     coupling_refs = param_refs[len(param_names):]
-    rb = rb_ref[0, 0]  # [J, num_bessel]
-    f = f_ref[0]  # [J, feature_dim]
-    y = y_ref[0, 0]  # [J, SH]
+    spans, _ = _path_expanded_layout(meta)
+
+    rb = rb_ref[0]  # [N*J, num_bessel]
+    f = f_ref[0]  # [J, P] path-expanded sources
+    y = y_ref[0]  # [N*J, SH]
 
     x = rb
     for depth in range(n_mlp_layers):
@@ -198,40 +246,42 @@ def _edge_kernel(
         x = jax.lax.dot_general(
             x, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * (1.0 / math.sqrt(x.shape[-1]))
+        ) * (1.0 / math.sqrt(w.shape[0]))
         if depth < n_mlp_layers - 1:
             x = jax.nn.silu(x) * _SILU_NORM
-    w_all = x  # [J, n_paths*U]
+    w_rep = x  # [N*J, P] (last layer pre-expanded to the path layout)
 
     U = meta.channels
-    accumulators = [
-        jnp.zeros((U, ir.dim), jnp.float32) for _, ir in meta.irreps_target
-    ]
-    coupling_index = 0
-    for p_index, (i_f, l_sh, i_t) in enumerate(meta.paths):
-        ir_f = meta.irreps_features[i_f][1]
-        w_p = w_all[:, p_index * U:(p_index + 1) * U]  # [J, U]
-        y_blk = y[:, l_sh * l_sh:(l_sh + 1) * (l_sh + 1)]  # [J, b]
-        for a in range(ir_f.dim):
-            f_off = meta.feature_offsets[i_f] + a * U
-            g = f[:, f_off:f_off + U] * w_p  # [J, U]
-            # M[u, b'] = sum_j g[j, u] y[j, b']  (contraction over sublanes)
+    for i in range(natoms):
+        g = f * w_rep[i * n_pairs:(i + 1) * n_pairs, :]  # [J, P]
+        y_i = y[i * n_pairs:(i + 1) * n_pairs, :]  # [J, SH]
+        accumulators = [
+            jnp.zeros((U, ir.dim), jnp.float32) for _, ir in meta.irreps_target
+        ]
+        coupling_index = 0
+        for p_index, (i_f, l_sh, i_t) in enumerate(meta.paths):
+            offset, a_dim = spans[p_index]
+            y_blk = y_i[:, l_sh * l_sh:(l_sh + 1) * (l_sh + 1)]  # [J, b]
+            # One J-contraction GEMM per path: [a*U, J] @ [J, b].
             m = jax.lax.dot_general(
-                g, y_blk, (((0,), (0,)), ((), ())),
+                g[:, offset:offset + a_dim * U], y_blk,
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
-            c_a = coupling_refs[coupling_index][:]  # [b, c]
-            coupling_index += 1
-            accumulators[i_t] = accumulators[i_t] + jax.lax.dot_general(
-                m, c_a, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    # Per-group slice stores (a lane-dim concatenate may not lower on all
-    # Mosaic versions; sliced stores always do).
-    for i_t, acc in enumerate(accumulators):
-        c_off = meta.target_offsets[i_t]
-        c_dim = meta.irreps_target[i_t][1].dim
-        out_ref[0, 0, :, c_off:c_off + c_dim] = acc
+            )  # [a*U, b]
+            for a in range(a_dim):
+                c_a = coupling_refs[coupling_index][:]  # [b, c]
+                coupling_index += 1
+                accumulators[i_t] = accumulators[i_t] + jax.lax.dot_general(
+                    m[a * U:(a + 1) * U, :], c_a,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        # Per-group slice stores (a lane-dim concatenate may not lower on
+        # all Mosaic versions; sliced stores always do).
+        for i_t, acc in enumerate(accumulators):
+            c_off = meta.target_offsets[i_t]
+            c_dim = meta.irreps_target[i_t][1].dim
+            out_ref[0, i, :, c_off:c_off + c_dim] = acc
 
 
 def pallas_edge_block(params, radial_basis, features_a_major, harmonics,
@@ -239,8 +289,13 @@ def pallas_edge_block(params, radial_basis, features_a_major, harmonics,
     """Fused forward. Shapes as in dense_edge_block; output [B, N, U, c_total]."""
     batch, natoms, n_pairs, num_bessel = radial_basis.shape
     param_names = sorted(params)
-    param_values = [params[name] for name in param_names]
     n_mlp_layers = len(param_names)
+    last = param_names[-1]
+    param_values = [
+        expand_last_layer_for_paths(params[name], meta) if name == last
+        else params[name]
+        for name in param_names
+    ]
     # One CG slice per (path, a), in kernel traversal order.
     coupling_values = [
         jnp.asarray(meta.couplings[p_index][a], jnp.float32)
@@ -249,15 +304,22 @@ def pallas_edge_block(params, radial_basis, features_a_major, harmonics,
     ]
     param_values = param_values + coupling_values
 
+    _, expanded_dim = _path_expanded_layout(meta)
+    f_expanded = expand_features_for_paths(features_a_major, meta)
+    rb_flat = radial_basis.reshape(batch, natoms * n_pairs, num_bessel)
+    y_flat = harmonics.reshape(batch, natoms * n_pairs, harmonics.shape[-1])
+
     kernel = functools.partial(
         _edge_kernel,
         meta=meta,
         n_mlp_layers=n_mlp_layers,
         param_names=param_names,
+        natoms=natoms,
+        n_pairs=n_pairs,
     )
 
     replicated = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM
+        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     out_shape = jax.ShapeDtypeStruct(
         (batch, natoms, meta.channels, meta.target_c_total), jnp.float32
@@ -265,31 +327,31 @@ def pallas_edge_block(params, radial_basis, features_a_major, harmonics,
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         lambda *refs: kernel(*refs[:-1], out_ref=refs[-1]),
-        grid=(batch, natoms),
+        grid=(batch,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, n_pairs, num_bessel), lambda b, i: (b, i, 0, 0),
+                (1, natoms * n_pairs, num_bessel), lambda b: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, n_pairs, meta.feature_dim), lambda b, i: (b, 0, 0),
+                (1, n_pairs, expanded_dim), lambda b: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, n_pairs, harmonics.shape[-1]),
-                lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM,
+                (1, natoms * n_pairs, harmonics.shape[-1]),
+                lambda b: (b, 0, 0), memory_space=pltpu.VMEM,
             ),
         ] + [replicated(v.shape) for v in param_values],
         out_specs=pl.BlockSpec(
-            (1, 1, meta.channels, meta.target_c_total),
-            lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM,
+            (1, natoms, meta.channels, meta.target_c_total),
+            lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM,
         ),
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(radial_basis, features_a_major, harmonics, *param_values)
+    )(rb_flat, f_expanded, y_flat, *param_values)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
