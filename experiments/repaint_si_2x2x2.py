@@ -151,9 +151,10 @@ def main(argv=None):
     d_center = periodic_distances(frame, frame[center_index][None], CELL)[:, 0]
     region = np.argsort(d_center)[: args.repaint_atoms]  # includes center (d=0)
     keep = np.setdiff1d(np.arange(natoms), region)
+    region_radius = float(d_center[region].max()) if len(region) else 0.0
     print(
         f"repaint region: {len(region)} atoms around atom {center_index} "
-        f"(max region radius {d_center[region].max():.2f} A); "
+        f"(max region radius {region_radius:.2f} A); "
         f"{len(keep)} constrained atoms",
         flush=True,
     )
@@ -298,14 +299,17 @@ def main(argv=None):
     # --- gate 3: structural health of the healed region ---
     sample_distances = pair_distances(x, CELL)
     ks_structure = ks_2samp(sample_distances, reference_distances)
-    min_repaint_distance = np.inf
-    repaint_neighbor_distances = []
-    for s in range(x.shape[0]):
-        d = periodic_distances(x[s, region], x[s], CELL)
-        d[np.arange(len(region)), region] = np.inf  # self
-        min_repaint_distance = min(min_repaint_distance, float(d.min()))
-        repaint_neighbor_distances.append(d.min(axis=1))
-    repaint_neighbor_distances = np.concatenate(repaint_neighbor_distances)
+    min_repaint_distance = None
+    repaint_neighbor_distances = np.asarray([np.nan])
+    if len(region):
+        min_repaint_distance = np.inf
+        repaint_neighbor_distances = []
+        for s in range(x.shape[0]):
+            d = periodic_distances(x[s, region], x[s], CELL)
+            d[np.arange(len(region)), region] = np.inf  # self
+            min_repaint_distance = min(min_repaint_distance, float(d.min()))
+            repaint_neighbor_distances.append(d.min(axis=1))
+        repaint_neighbor_distances = np.concatenate(repaint_neighbor_distances)
 
     result = {
         "checkpoint": args.checkpoint,
@@ -320,7 +324,7 @@ def main(argv=None):
         "start_sigma": args.start_sigma,
         "repaint_region_atoms": int(len(region)),
         "constrained_atoms": int(len(keep)),
-        "region_radius_angstrom": float(d_center[region].max()),
+        "region_radius_angstrom": region_radius,
         "seconds": round(seconds, 1),
         "constraint_max_abs_error": constraint_error,
         "energy_per_atom_median": float(np.median(e_atom)),
@@ -330,7 +334,10 @@ def main(argv=None):
         "ks_energy": float(ks_energy.statistic),
         "ks_energy_pvalue": float(ks_energy.pvalue),
         "ks_structure": float(ks_structure.statistic),
-        "min_repaint_distance_angstrom": float(min_repaint_distance),
+        "min_repaint_distance_angstrom": (
+            None if min_repaint_distance is None
+            else float(min_repaint_distance)
+        ),
         "repaint_nn_distance_median": float(
             np.median(repaint_neighbor_distances)
         ),
