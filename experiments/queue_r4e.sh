@@ -50,4 +50,19 @@ for K in 0 1 2 4; do
   log "ladder k=${K} rc=$?"
   sleep 30
 done
+
+# Hole-seeded partial denoising: the r4 score-field probe shows the learned
+# low-sigma score cannot navigate atoms far from any site (VE sigma_max
+# never erases positions), so seed the generated slots inside the carved
+# sphere and let 500 steps of constrained denoising arrange them.
+for INIT in hole sites; do
+  log "repaint k=8 region_init=${INIT}"
+  timeout 1800 python experiments/repaint_si_2x2x2.py \
+    --samples 32 --batch 32 --repaint_atoms 8 \
+    --start_sigma 0.12 --region_init "${INIT}" \
+    --out "experiments/repaint_si_2x2x2_${INIT}.json" \
+    > "out/repaint_${INIT}.log" 2>&1
+  log "repaint ${INIT} rc=$?"
+  sleep 30
+done
 log "=== r4e queue done ==="

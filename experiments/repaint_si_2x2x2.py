@@ -88,9 +88,19 @@ def main(argv=None):
     parser.add_argument(
         "--start_sigma", type=float, default=None,
         help="partial denoising: start from the constraint frame noised to "
-        "this sigma (region slots uniform) instead of full noise — anchors "
-        "the global registry the translation-invariant model cannot infer "
-        "from heavily-noised constraints",
+        "this sigma instead of full noise — anchors the global registry "
+        "the translation-invariant model cannot infer from heavily-noised "
+        "constraints",
+    )
+    parser.add_argument(
+        "--region_init", choices=["uniform", "hole", "sites"],
+        default="uniform",
+        help="with --start_sigma: where the generated slots start. The "
+        "VE schedule's sigma_max=0.2 never erases positions, so a "
+        "low-sigma score has no information about atoms far from any "
+        "site (the r4 score-field probe: cos(score, to-site) is random "
+        "at sigma<=0.05). 'hole' seeds them uniformly inside the carved "
+        "sphere; 'sites' at the carved sites themselves (pure healing).",
     )
     parser.add_argument("--out", default="experiments/repaint_si_2x2x2.json")
     args = parser.parse_args(argv)
@@ -213,7 +223,24 @@ def main(argv=None):
             start_index = int(np.searchsorted(sigmas, args.start_sigma)) + 1
             rng = np.random.RandomState(chunk_seed)
             x0 = np.broadcast_to(frame, (chunk_size, natoms, 3)).copy()
-            x0[:, region] = rng.uniform(size=(chunk_size, len(region), 3))
+            if args.region_init == "sites":
+                pass  # carved sites already in the frame copy
+            elif args.region_init == "hole":
+                direction = rng.normal(size=(chunk_size, len(region), 3))
+                direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+                radius = (
+                    region_radius * rng.uniform(
+                        size=(chunk_size, len(region), 1)
+                    ) ** (1.0 / 3.0)
+                )
+                x0[:, region] = (
+                    frame[center_index][None, None]
+                    + direction * radius / CELL[None, None]
+                ) % 1.0
+            else:
+                x0[:, region] = rng.uniform(
+                    size=(chunk_size, len(region), 3)
+                )
             sigma_eff = sigmas[start_index - 1]
             x_start = (
                 x0 + sigma_eff * rng.normal(size=x0.shape)
@@ -322,6 +349,7 @@ def main(argv=None):
         "force_field": list(args.force_field),
         "resample_steps": args.resample_steps,
         "start_sigma": args.start_sigma,
+        "region_init": args.region_init,
         "repaint_region_atoms": int(len(region)),
         "constrained_atoms": int(len(keep)),
         "region_radius_angstrom": region_radius,
