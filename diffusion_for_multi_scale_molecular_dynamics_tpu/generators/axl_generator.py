@@ -28,6 +28,28 @@ class SamplingParameters:
 
     use_fixed_lattice_parameters: bool = False
     cell_dimensions: Optional[List[float]] = None
+    # Lattice prior for *diffusing*-lattice sampling (beyond-reference).
+    # The reference initializes L ~ N(0, 1) (trajectory_initializer.py:115)
+    # — but the VE forward process never moves L more than ~sigma_max/n^(1/d)
+    # from the data, so a standard-normal start is far outside anything the
+    # score network ever saw and the L-updates explode (round-4 lattice run:
+    # NaN lattices). With a prior mean (e.g. the data's cell) the start is
+    # the VE terminal marginal mean + prior_std * z. None keeps reference
+    # behaviour.
+    lattice_parameters_prior_mean: Optional[List[float]] = None
+    lattice_parameters_prior_std: float = 1.0
+    # Scale the lattice predictor/corrector step sizes to the lattice noise
+    # process (beyond-reference; default on). The forward L process uses
+    # sigma_n = sigma / n^(1/d), but the reference's reverse updates reuse
+    # the *coordinate* increments g^2, g and tabulated eps unscaled
+    # (reference langevin_generator.py:631-640 — two TODOs admit this is
+    # untested). That makes the L updates linearly unstable: the predictor
+    # drift overshoots by n^(2/d) and the corrector eps is ~5 n^(2/d)/8
+    # times the sigma_n^2 stability bound — the round-4 NaN-lattice failure.
+    # True scales the predictor weights by (sigma_n/sigma)^2 = n^(-2/d)
+    # (noise by n^(-1/d)) and the tabulated corrector eps likewise; False
+    # reproduces reference behaviour exactly.
+    lattice_consistent_step_scaling: bool = True
 
     record_samples: bool = False
     record_samples_corrector_steps: bool = False

@@ -89,6 +89,16 @@ class LangevinGenerator(AXLGenerator):
         self.small_epsilon = sampling_parameters.small_epsilon
         self.number_of_atoms = sampling_parameters.number_of_atoms
         self.spatial_dimension = sampling_parameters.spatial_dimension
+        # (sigma_n / sigma) = n^(-1/d): the lattice-vs-coordinate noise-scale
+        # ratio used when lattice_consistent_step_scaling is on (see
+        # SamplingParameters for why the reference's unscaled updates are
+        # linearly unstable).
+        if sampling_parameters.lattice_consistent_step_scaling:
+            self._lattice_step_scale = float(
+                self.number_of_atoms ** (-1.0 / self.spatial_dimension)
+            )
+        else:
+            self._lattice_step_scale = 1.0
 
         self.schedule = build_noise_schedule(noise_parameters, self.num_classes)
         noise = self.schedule.noise
@@ -114,6 +124,12 @@ class LangevinGenerator(AXLGenerator):
                     ),
                     fixed_lattice_parameters=(
                         sampling_parameters.fixed_lattice_parameters
+                    ),
+                    lattice_parameters_prior_mean=(
+                        sampling_parameters.lattice_parameters_prior_mean
+                    ),
+                    lattice_parameters_prior_std=(
+                        sampling_parameters.lattice_parameters_prior_std
                     ),
                 )
             )
@@ -298,7 +314,9 @@ class LangevinGenerator(AXLGenerator):
         return self.schedule.langevin.epsilon[idx]
 
     def _lattice_corrector_step_size(self, idx, sigma_n_i, scores, z):
-        return self.schedule.langevin.epsilon[idx]
+        # The table is in coordinate units (eps ~ sigma^2); rescale to the
+        # lattice noise scale sigma_n^2 when consistent scaling is on.
+        return self.schedule.langevin.epsilon[idx] * self._lattice_step_scale**2
 
     def _substep_xl_weights(
         self, is_predictor, idx, sigma_i, sigma_n_i, predictions, z_x, z_l, tau
@@ -321,9 +339,16 @@ class LangevinGenerator(AXLGenerator):
         w_noise_x = jnp.where(
             is_predictor, tau * g_i, corrector_temperature * jnp.sqrt(2.0 * eps_x)
         )
-        w_score_l = jnp.where(is_predictor, g2_i, eps_l)
+        # Predictor L weights scale to the lattice process (g_n^2, g_n) under
+        # lattice_consistent_step_scaling; the corrector branch inherits its
+        # scaling from eps_l (tabulated: rescaled in
+        # _lattice_corrector_step_size; adaptive: already score-derived).
+        c_l = self._lattice_step_scale
+        w_score_l = jnp.where(is_predictor, g2_i * c_l**2, eps_l)
         w_noise_l = jnp.where(
-            is_predictor, tau * g_i, corrector_temperature * jnp.sqrt(2.0 * eps_l)
+            is_predictor,
+            tau * g_i * c_l,
+            corrector_temperature * jnp.sqrt(2.0 * eps_l),
         )
         return w_score_x, w_noise_x, w_score_l, w_noise_l
 

@@ -31,6 +31,10 @@ class TrajectoryInitializerParameters:
     number_of_atoms: int
     use_fixed_lattice_parameters: bool = False
     fixed_lattice_parameters: Optional[np.ndarray] = None
+    # Diffusing-lattice prior: L ~ N(prior_mean, prior_std) instead of the
+    # reference's N(0, 1) (see SamplingParameters for the rationale).
+    lattice_parameters_prior_mean: Optional[np.ndarray] = None
+    lattice_parameters_prior_std: float = 1.0
     # Path to a starting-configuration pickle for partial denoising.
     path_to_starting_configuration_data_pickle: Optional[str] = None
 
@@ -77,9 +81,16 @@ class FullRandomTrajectoryInitializer(TrajectoryInitializer):
                 (number_of_samples, self.num_lattice_parameters),
             )
         else:
-            lattice = jax.random.normal(
+            z = jax.random.normal(
                 key_l, (number_of_samples, self.num_lattice_parameters), x.dtype
             )
+            if p.lattice_parameters_prior_mean is not None:
+                mean = jnp.asarray(
+                    p.lattice_parameters_prior_mean, dtype=x.dtype
+                )
+                lattice = mean[None] + p.lattice_parameters_prior_std * z
+            else:
+                lattice = z  # reference parity: N(0, 1)
         return AXL(A=atom_types, X=x, L=lattice)
 
     def create_start_time_step_index(self, number_of_discretization_steps: int) -> int:
@@ -140,6 +151,12 @@ def instantiate_trajectory_initializer(
         number_of_atoms=sampling_parameters.number_of_atoms,
         use_fixed_lattice_parameters=sampling_parameters.use_fixed_lattice_parameters,
         fixed_lattice_parameters=sampling_parameters.fixed_lattice_parameters,
+        lattice_parameters_prior_mean=getattr(
+            sampling_parameters, "lattice_parameters_prior_mean", None
+        ),
+        lattice_parameters_prior_std=getattr(
+            sampling_parameters, "lattice_parameters_prior_std", 1.0
+        ),
         path_to_starting_configuration_data_pickle=(
             path_to_starting_configuration_data_pickle
         ),

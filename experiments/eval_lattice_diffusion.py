@@ -42,6 +42,19 @@ def main(argv=None):
     parser.add_argument("--noise_temperature", type=float, default=1.0)
     parser.add_argument("--sigma_window", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=3)
+    parser.add_argument(
+        "--lattice_prior",
+        default="data",
+        choices=["data", "reference"],
+        help=(
+            "Start-of-trajectory lattice prior. 'reference' is the upstream "
+            "N(0,1) start (trajectory_initializer.py:115) — far outside the "
+            "VE terminal marginal L_data + (sigma_max/n^(1/3)) z, which is "
+            "why the round-4 first run produced NaN lattices. 'data' starts "
+            "at N(data_cell, sigma_max/n^(1/3)), the actual terminal "
+            "marginal of the forward process the model was trained on."
+        ),
+    )
     parser.add_argument("--out", default="experiments/lattice_diffusion_eval_r4.json")
     args = parser.parse_args(argv)
 
@@ -87,12 +100,19 @@ def main(argv=None):
     )
 
     axl_network = load_axl_network_from_checkpoint(args.checkpoint, prefer=args.prefer)
+    sigma_max = 0.2
+    if args.lattice_prior == "data":
+        prior_mean = [data_box] * 3 + [0.0] * 3  # (a, b, c, 0, 0, 0)
+        prior_std = sigma_max / args.natoms ** (1.0 / 3.0)
+    else:
+        prior_mean = None
+        prior_std = 1.0
     generator = LangevinGenerator(
         NoiseParameters(
             total_time_steps=args.steps,
             schedule_type="linear",
             sigma_min=1e-4,
-            sigma_max=0.2,
+            sigma_max=sigma_max,
             corrector_step_epsilon=2.5e-8,
         ),
         PredictorCorrectorSamplingParameters(
@@ -103,6 +123,8 @@ def main(argv=None):
             noise_temperature=args.noise_temperature,
             temperature_sigma_max=args.sigma_window,
             use_fixed_lattice_parameters=False,
+            lattice_parameters_prior_mean=prior_mean,
+            lattice_parameters_prior_std=prior_std,
         ),
         axl_network,
     )

@@ -441,6 +441,51 @@ def test_corrector_temperature_scales_noise(rng_key):
     np.testing.assert_allclose(noise_hot, 2.0 * noise_unit, rtol=1e-4, atol=1e-6)
 
 
+def test_lattice_consistent_step_scaling_weights(rng_key):
+    """With lattice_consistent_step_scaling (default), the L predictor uses
+    (g_n^2, g_n) = (g^2, g) * n^(-2/d, -1/d) and the tabulated corrector eps
+    is rescaled by n^(-2/d); with it off, weights match X (reference parity,
+    reference langevin_generator.py:631-640 TODO behaviour)."""
+    z = jnp.zeros((6, NATOMS, D))
+    z_l = jnp.zeros((6, 6))
+    for scaled in (True, False):
+        generator = make_generator(
+            use_fixed_lattice_parameters=False,
+            cell_dimensions=None,
+            lattice_consistent_step_scaling=scaled,
+        )
+        c = NATOMS ** (-1.0 / D) if scaled else 1.0
+        noise = generator.schedule.noise
+        idx = jnp.asarray(3)
+        sigma_i = noise.sigma[idx]
+        predictions = mock_network(
+            {
+                NOISY_AXL_COMPOSITION: AXL(
+                    A=jnp.zeros((6, NATOMS), jnp.int32),
+                    X=jnp.zeros((6, NATOMS, D)),
+                    L=jnp.zeros((6, 6)),
+                )
+            }
+        )
+        ws_x, wn_x, ws_l, wn_l = generator._substep_xl_weights(
+            True, idx, sigma_i, generator._sigma_n(sigma_i), predictions, z, z_l, 1.0
+        )
+        np.testing.assert_allclose(float(ws_x), float(noise.g_squared[idx]), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(ws_l), float(noise.g_squared[idx]) * c**2, rtol=1e-6
+        )
+        np.testing.assert_allclose(float(wn_l), float(noise.g[idx]) * c, rtol=1e-6)
+        eps = float(generator.schedule.langevin.epsilon[idx])
+        ws_x, wn_x, ws_l, wn_l = generator._substep_xl_weights(
+            False, idx, sigma_i, generator._sigma_n(sigma_i), predictions, z, z_l, 1.0
+        )
+        np.testing.assert_allclose(float(ws_x), eps, rtol=1e-6)
+        np.testing.assert_allclose(float(ws_l), eps * c**2, rtol=1e-6)
+        np.testing.assert_allclose(
+            float(wn_l), np.sqrt(2.0 * eps) * c, rtol=1e-6
+        )
+
+
 def test_adaptive_corrector_step_size_guard(rng_key):
     """A vanishing learned score must not produce a divergent adaptive step
     (the reference-default failure mode); a healthy harmonic-scale score

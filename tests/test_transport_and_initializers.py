@@ -136,6 +136,27 @@ class TestTrajectoryInitializers:
         lattice = np.asarray(composition.L)
         assert abs(lattice.mean()) < 0.3 and 0.7 < lattice.std() < 1.3
 
+    def test_full_random_lattice_prior(self, params):
+        """Diffusing-lattice prior N(mean, std) — the VE terminal marginal
+        (beyond-reference; the upstream N(0,1) start is out of distribution
+        for the sigma/n^(1/3)-scale forward process)."""
+        from dataclasses import replace
+
+        mean = np.asarray([5.43, 5.43, 5.43, 0.0, 0.0, 0.0])
+        init = FullRandomTrajectoryInitializer(
+            replace(
+                params,
+                use_fixed_lattice_parameters=False,
+                fixed_lattice_parameters=None,
+                lattice_parameters_prior_mean=mean,
+                lattice_parameters_prior_std=0.1,
+            )
+        )
+        composition = init.initialize(jax.random.PRNGKey(2), 256)
+        lattice = np.asarray(composition.L)
+        np.testing.assert_allclose(lattice.mean(axis=0), mean, atol=0.03)
+        assert 0.07 < lattice.std(axis=0).mean() < 0.13
+
     def test_start_from_configuration_roundtrip(self, params, tmp_path):
         """write_starting_configuration -> initializer resumes at the index
         with the exact composition (reference trajectory_initializer.py:134)."""
