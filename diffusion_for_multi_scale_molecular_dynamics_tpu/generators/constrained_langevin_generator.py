@@ -24,6 +24,7 @@ from ..noisers import (
     get_noisy_relative_coordinates_sample,
 )
 from ..ops.d3pm import class_index_to_onehot
+from ..ops.geometry import map_relative_coordinates_to_unit_cell
 from .langevin_generator import LangevinGenerator
 from .predictor_corrector_axl_generator import PredictorCorrectorSamplingParameters
 from .sampling_constraint import SamplingConstraint
@@ -48,6 +49,11 @@ class ConstrainedLangevinGenerator(LangevinGenerator):
             trajectory_initializer=trajectory_initializer,
         )
         self.sampling_constraints = sampling_constraints
+        self._coherent_renoising = getattr(
+            sampling_parameters, "repaint_coherent_renoising", False
+        )
+        # Trace-time stash of the frozen trajectory noise (see _scan_chunk).
+        self._frozen_noise = None
 
         n_constraints, d = (
             sampling_constraints.constrained_relative_coordinates.shape
@@ -89,15 +95,56 @@ class ConstrainedLangevinGenerator(LangevinGenerator):
         )
         return composition._replace(A=a, X=x)
 
+    def _scan_chunk(self, composition: AXL, key, indices, record: bool):
+        """Stash frozen per-trajectory constraint noise for coherent mode.
+
+        The frozen draws must be (a) constant across the time steps of a
+        scan chunk and (b) a function of the scan's *traced* key argument so
+        repeated calls of the compiled chunk stay independent. They are
+        created here — inside the trace, from the key argument — and stashed
+        on ``self`` only for the duration of the trace;
+        ``_noise_known_composition`` (called from the substep while tracing
+        the scan body) picks them up. The stash is cleared afterwards, and is
+        never consulted at execution time (the compiled artifact closed over
+        the traced values).
+
+        Chunking caveat: ``sample`` chains chunks of ``max_steps_per_call``
+        (250) steps, each with an evolved key — the frozen draw refreshes at
+        chunk boundaries. A 1000-step trajectory sees 3 redraws instead of
+        the fresh-mode's one per substep (~3000): piecewise-coherent.
+        """
+        if not self._coherent_renoising:
+            return super()._scan_chunk(composition, key, indices, record)
+        batch_size = composition.X.shape[0]
+        key_z, key_u = jax.random.split(jax.random.fold_in(key, 0xC0E))
+        self._frozen_noise = (
+            jax.random.normal(
+                key_z,
+                (batch_size,) + self._known_x.shape,
+                composition.X.dtype,
+            ),
+            jax.random.uniform(
+                key_u,
+                (batch_size,) + self._known_a.shape,
+                composition.X.dtype,
+            ),
+        )
+        try:
+            return super()._scan_chunk(composition, key, indices, record)
+        finally:
+            self._frozen_noise = None
+
     def _noise_known_composition(
         self, key, batch_size: int, idx
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Forward-noise the known constrained atoms to zero-based index idx-1.
 
         At idx == 0 (the final denoising step) the clean values are returned
-        unchanged.
+        unchanged. With ``repaint_coherent_renoising`` the noise is the
+        trajectory's frozen draw (x0 + sigma * z_frozen; atom i masked while
+        u_frozen_i < p_mask(idx), a monotone — hence valid — absorbing-chain
+        forward trajectory) instead of a fresh sample per level.
         """
-        key_x, key_a = jax.random.split(key)
         noise_idx = jnp.maximum(idx - 1, 0)
         noise = self.schedule.noise
         sigma = noise.sigma[noise_idx]
@@ -105,13 +152,23 @@ class ConstrainedLangevinGenerator(LangevinGenerator):
         x0 = jnp.broadcast_to(self._known_x, (batch_size,) + self._known_x.shape)
         a0 = jnp.broadcast_to(self._known_a, (batch_size,) + self._known_a.shape)
 
-        xt = get_noisy_relative_coordinates_sample(
-            key_x, x0, jnp.full_like(x0, sigma)
-        )
-        a0_onehot = class_index_to_onehot(a0, self.num_classes)
-        at = get_noisy_atom_types_sample(
-            key_a, a0_onehot, noise.q_bar_matrix[noise_idx]
-        )
+        if self._frozen_noise is not None:
+            z_frozen, u_frozen = self._frozen_noise
+            xt = map_relative_coordinates_to_unit_cell(
+                x0 + sigma * z_frozen
+            )
+            # P(an initially-clean atom of type a0 is MASK at this level).
+            p_mask = noise.q_bar_matrix[noise_idx][a0, self.masked_atom_type_index]
+            at = jnp.where(u_frozen < p_mask, self.masked_atom_type_index, a0)
+        else:
+            key_x, key_a = jax.random.split(key)
+            xt = get_noisy_relative_coordinates_sample(
+                key_x, x0, jnp.full_like(x0, sigma)
+            )
+            a0_onehot = class_index_to_onehot(a0, self.num_classes)
+            at = get_noisy_atom_types_sample(
+                key_a, a0_onehot, noise.q_bar_matrix[noise_idx]
+            )
 
         is_final = idx == 0
         x_known = jnp.where(is_final, x0, xt)

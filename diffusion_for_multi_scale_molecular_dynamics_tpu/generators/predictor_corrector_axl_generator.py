@@ -27,6 +27,17 @@ class PredictorCorrectorSamplingParameters(SamplingParameters):
     # predictor_step:94 overwrites once per level); 0 reproduces it exactly.
     # Cost: predictor network calls x (1 + repaint_resample_steps).
     repaint_resample_steps: int = 0
+    # Coherent RePaint renoising (beyond-reference): overwrite constrained
+    # slots with x0 + sigma_i * z using ONE frozen z per (sample, atom) for
+    # the whole trajectory (and a frozen uniform per atom for the monotone
+    # D3PM masking time) instead of fresh noise at every level. The fresh
+    # draw is the image-RePaint convention, but for a translation-invariant
+    # atomistic model it makes the constrained environment jitter
+    # incoherently by ~sigma_i * box each step — the r4f ladder shows free
+    # slots walked off even a pure-healing start. A frozen z is a valid
+    # forward trajectory at every marginal, and the environment then
+    # converges smoothly onto the constraint (round-4 results, "Repaint").
+    repaint_coherent_renoising: bool = False
     # Scale on the corrector noise: the corrector samples p(x)^(1/T) with
     # T = corrector_temperature^2 relative to the learned score. 1.0 is the
     # reference's (implicit) value; repeated correctors tend to quench the

@@ -102,6 +102,13 @@ def main(argv=None):
         "at sigma<=0.05). 'hole' seeds them uniformly inside the carved "
         "sphere; 'sites' at the carved sites themselves (pure healing).",
     )
+    parser.add_argument(
+        "--coherent", action="store_true",
+        help="repaint_coherent_renoising: one frozen constraint-noise draw "
+        "per scan chunk instead of fresh noise every substep (the r4f "
+        "ladder's leading suspect is per-step incoherent ~sigma*box jitter "
+        "of the 56 constrained neighbors)",
+    )
     parser.add_argument("--out", default="experiments/repaint_si_2x2x2.json")
     args = parser.parse_args(argv)
 
@@ -204,6 +211,7 @@ def main(argv=None):
             use_fixed_lattice_parameters=True,
             cell_dimensions=CELL.tolist(),
             repaint_resample_steps=args.resample_steps,
+            repaint_coherent_renoising=args.coherent,
         )
         trajectory_initializer = None
         if args.start_sigma is not None:
@@ -348,6 +356,7 @@ def main(argv=None):
         "sigma_window": args.sigma_window,
         "force_field": list(args.force_field),
         "resample_steps": args.resample_steps,
+        "coherent": args.coherent,
         "start_sigma": args.start_sigma,
         "region_init": args.region_init,
         "repaint_region_atoms": int(len(region)),
