@@ -101,6 +101,29 @@ def build_noise_schedule(
     epsilon = 0.5 * eps * prev_sigma_squared / sigma_squared[0]
     sqrt_2_epsilon = jnp.sqrt(2.0 * epsilon)
 
+    # Corrector-stability guard: eps_i / sigma_i^2 = 0.5 eps / sigma_1^2 is
+    # constant across the table; unadjusted Langevin on a Gaussian mode of
+    # width ~sigma_i diverges when that ratio exceeds 2 (|1 - eps/sigma^2|
+    # > 1). corrector_step_epsilon is calibrated against sigma_min — the
+    # reference default 2e-5 assumes its sigma_min=0.005 and silently turns
+    # divergent when a config tightens sigma_min (at 1e-4 the ratio is 1000:
+    # the round-4 repaint-collapse root cause). Warn loudly instead.
+    stability_ratio = float(0.5 * eps / float(sigma_squared[0]))
+    if stability_ratio > 2.0:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "corrector_step_epsilon=%.3g with sigma_min=%.3g gives corrector "
+            "steps eps_i = %.0f * sigma_i^2 — overdamped-Langevin diverges "
+            "above eps_i = 2 sigma_i^2, so every corrector substep will "
+            "scramble, not equilibrate. Set corrector_step_epsilon below "
+            "%.3g (production configs use 2.5e-8 with sigma_min=1e-4).",
+            eps,
+            sigma_min,
+            stability_ratio,
+            4.0 * float(sigma_squared[0]),
+        )
+
     # Variance-preserving side for atom-type diffusion.
     beta = 1.0 / (n - jnp.arange(1, n + 1) + 1.0)
     alpha_bar = jnp.cumprod(1.0 - beta)
