@@ -93,6 +93,7 @@ def main(argv=None):
     noise_parameters = NoiseParameters(
         total_time_steps=args.steps, schedule_type="linear",
         sigma_min=1e-4, sigma_max=0.2,
+        corrector_step_epsilon=2.5e-8,
     )
 
     def build(constrained):

@@ -44,7 +44,7 @@ CONFIG = {
         "valid_dataset_size": 256,
         "use_fixed_lattice_parameters": True,
         "noise": {"total_time_steps": 50, "sigma_min": 0.001,
-                  "sigma_max": 0.5},
+                  "sigma_max": 0.5, "corrector_step_epsilon": 2.5e-6},
     },
     "model": {
         "loss": {
@@ -110,7 +110,8 @@ def main():
     axl_network = load_axl_network_from_checkpoint(run_dir, prefer="best")
     generator = LangevinGenerator(
         NoiseParameters(total_time_steps=50, schedule_type="linear",
-                        sigma_min=0.001, sigma_max=0.5),
+                        sigma_min=0.001, sigma_max=0.5,
+                        corrector_step_epsilon=2.5e-6),
         PredictorCorrectorSamplingParameters(
             num_atom_types=1,
             number_of_atoms=2,
