@@ -44,7 +44,7 @@ CONFIG = {
         "valid_dataset_size": 256,
         "use_fixed_lattice_parameters": True,
         "noise": {"total_time_steps": 50, "sigma_min": 0.001,
-                  "sigma_max": 0.5, "corrector_step_epsilon": 2.5e-6},
+                  "sigma_max": 0.5, "corrector_step_epsilon": 2.0e-6},
     },
     "model": {
         "loss": {
@@ -111,12 +111,12 @@ def main():
     generator = LangevinGenerator(
         NoiseParameters(total_time_steps=50, schedule_type="linear",
                         sigma_min=0.001, sigma_max=0.5,
-                        corrector_step_epsilon=2.5e-6),
+                        corrector_step_epsilon=2.0e-6),
         PredictorCorrectorSamplingParameters(
             num_atom_types=1,
             number_of_atoms=2,
             number_of_samples=256,
-            number_of_corrector_steps=2,
+            number_of_corrector_steps=6,
             use_fixed_lattice_parameters=True,
             cell_dimensions=[1.0, 1.0, 1.0],
         ),
