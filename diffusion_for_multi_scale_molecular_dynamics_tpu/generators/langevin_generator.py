@@ -140,7 +140,9 @@ class LangevinGenerator(AXLGenerator):
         # (compile once, run many) carrying the composition on device. This
         # bounds single-call execution time (remote-TPU RPC limits) without
         # touching the math.
-        self.max_steps_per_call = 250
+        self.max_steps_per_call = self._resolve_max_steps_per_call(
+            sampling_parameters
+        )
 
         self.record = sampling_parameters.record_samples
         self.sample_trajectory_recorder = SampleTrajectory()
@@ -174,6 +176,26 @@ class LangevinGenerator(AXLGenerator):
         self._compiled_scan_chunk_with_params = jax.jit(
             self._scan_chunk_with_params, static_argnums=(4,)
         )
+
+    @staticmethod
+    def _resolve_max_steps_per_call(sampling_parameters) -> int:
+        """Scan-chunk length: explicit value, or auto from the corrector count.
+
+        Auto bounds the network applications per compiled program at the
+        hardware-validated budget of 1750 (= 250 steps x (1 predictor + 6
+        correctors), the largest program class proven clean at n=216 on v5e).
+        250 x 9-application programs (8 correctors) reproducibly fault the
+        device with `UNAVAILABLE` (experiments/repro_c8_fault.py bisection);
+        shortening the chunk keeps the same math — chunk boundaries only
+        split the compiled scan, carrying the composition on device.
+        """
+        explicit = getattr(sampling_parameters, "max_steps_per_call", 0)
+        if explicit and explicit > 0:
+            return int(explicit)
+        applications_per_step = 1 + max(
+            0, getattr(sampling_parameters, "number_of_corrector_steps", 0)
+        ) + max(0, getattr(sampling_parameters, "repaint_resample_steps", 0))
+        return max(25, min(250, 1750 // applications_per_step))
 
     # ------------------------------------------------------------- primitives
 

@@ -67,3 +67,14 @@ class PredictorCorrectorSamplingParameters(SamplingParameters):
     # strict reference behavior, so defaults are inert.
     adaptive_corrector_max_length_over_sigma: float = 4.0
     adaptive_corrector_mode_std: float = 0.0
+    # Length cap for one compiled scan call. The reverse trajectory chains
+    # compiled chunks of at most this many time *steps* (each step = 1
+    # predictor + number_of_corrector_steps corrector network applications,
+    # unrolled inside the scan body); chunk boundaries carry the composition
+    # on device and do not change the math. 0 (default) = auto: bound the
+    # per-program network-application count at the hardware-validated budget
+    # (see LangevinGenerator._resolve_max_steps_per_call) — high corrector
+    # counts get shorter chunks, which avoids the reproducible
+    # TPU `UNAVAILABLE` fault of 9-application x 250-step programs at n=216
+    # (round-4/5 bisection, experiments/repro_c8_fault.py).
+    max_steps_per_call: int = 0

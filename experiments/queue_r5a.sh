@@ -1,13 +1,14 @@
 #!/bin/bash
-# r5a queue: first TPU queue of round 5 — run the round-4 tail's fixes at
-# production scale.
-#   A  Repaint gate at scale (n=64, k=8, fixed epsilon) — the CPU n=4 run
-#      already closes the gate (E/atom -4.291); this is the
-#      statistics-bearing version, plus the coherent-renoising ablation.
-#   B  Si 3x3x3 corrector-8 eval at tau=1.3 (c6 landed energy-KS 0.176;
-#      the residual is a defect tail that corrector budget addresses).
-#   C  Lattice-diffusion eval is already stable (5.34 +/- 0.11 A); retrain
-#      the free-lattice model longer/bigger for L-head contraction.
+# r5a queue (round 5): bisect the c8/n=216 TPU scan fault, then close the
+# Si 3x3x3 energy gate at n=256 (VERDICT r4 #1).
+#
+# Bisection logic (experiments/repro_c8_fault.py):
+#   t1 c8_b16_k250  — exact failing program class          (expect FAULT)
+#   t2 c8_b8_k250   — same program size, half exec time    (discriminator:
+#                     clean => TIME-bound; fault => SIZE-bound)
+#   t3 c8_b16_auto  — auto chunk (194 steps, 1746 apps)    (fix candidate)
+#   t4 c6_b16_k250  — known-good control                   (expect OK)
+# Then, only if t3 passed: the n=256 c8 eval at tau=1.3.
 set -u
 cd /root/repo
 mkdir -p out
@@ -20,11 +21,11 @@ wait_for_tpu() {
     timeout 300 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((128, 128)); print(float((x @ x).sum()))
-" > /dev/null 2>&1 && { log "tpu probe ok; settling 60s"; sleep 60; return 0; }
+" > /dev/null 2>&1 && { log "tpu probe ok; settling 30s"; sleep 30; return 0; }
     tries=$((tries + 1))
     log "tpu probe wedged (try ${tries}); cooling 300s"
     sleep 300
-    if [ "$tries" -ge 6 ]; then log "tpu unreachable"; return 1; fi
+    if [ "$tries" -ge 8 ]; then log "tpu unreachable"; return 1; fi
   done
 }
 
@@ -33,35 +34,42 @@ run_job() {
   wait_for_tpu || { log "SKIP ${name}: no tpu"; return 1; }
   log "start ${name}"
   if "$@" >> "out/${name}.log" 2>&1; then
-    log "done ${name}"
+    log "done ${name}"; return 0
   else
-    log "FAILED/timeout ${name} rc=$? (continuing)"
+    log "FAILED/timeout ${name} rc=$? (continuing)"; return 1
   fi
-  sleep 30
 }
 
-log "=== r5a queue start ==="
+log "=== r5a queue start (c8 bisection) ==="
 echo $$ > /tmp/queue.pid
+BIS=experiments/c8_bisection_r5.json
 
-# -------------------- A: repaint gate at scale (fixed epsilon is default)
-run_job repaint_gate_r5 \
-  timeout 2400 python experiments/repaint_si_2x2x2.py \
-  --samples 64 --batch 32 --repaint_atoms 8 \
-  --out experiments/repaint_si_2x2x2_r5.json
+run_job bisect_t1 timeout 900 python experiments/repro_c8_fault.py \
+  --name c8_b16_k250 --correctors 8 --chunk 250 --batch 16 --out "$BIS"
+sleep 30
+run_job bisect_t2 timeout 900 python experiments/repro_c8_fault.py \
+  --name c8_b8_k250 --correctors 8 --chunk 250 --batch 8 --out "$BIS"
+sleep 30
+run_job bisect_t3 timeout 900 python experiments/repro_c8_fault.py \
+  --name c8_b16_auto --correctors 8 --chunk 0 --batch 16 --out "$BIS"
+T3_RC=$?
+sleep 30
+run_job bisect_t4 timeout 900 python experiments/repro_c8_fault.py \
+  --name c6_b16_k250 --correctors 6 --chunk 250 --batch 16 --out "$BIS"
+sleep 30
 
-run_job repaint_gate_coherent_r5 \
-  timeout 2400 python experiments/repaint_si_2x2x2.py \
-  --samples 64 --batch 32 --repaint_atoms 8 --coherent \
-  --out experiments/repaint_si_2x2x2_coherent_r5.json
-
-# ------------------------------- B: Si 3x3x3 corrector-8 eval at tau=1.3
-run_job eval_si3_c8_r5 \
-  timeout 7200 python experiments/eval_checkpoint.py \
-  --checkpoint experiments/si_3x3x3_checkpoint_r3l_fused --prefer last \
-  --sweep custom --natoms 216 --cell 16.29 16.29 16.29 \
-  --data data/si_diffusion_3x3x3 \
-  --samples 128 --correctors 8 --batch 16 --force_field 1.5 20.0 \
-  --noise_temperature 1.3 --sigma_window 0.01332947938261649 \
-  --output experiments/si_3x3x3_eval_c8_r5.json
+if [ "$T3_RC" -eq 0 ]; then
+  log "t3 (auto chunk) clean — running the n=256 c8 eval payload"
+  run_job eval_si3_c8_r5 \
+    timeout 10800 python experiments/eval_checkpoint.py \
+    --checkpoint experiments/si_3x3x3_checkpoint_r3l_fused --prefer last \
+    --sweep custom --natoms 216 --cell 16.29 16.29 16.29 \
+    --data data/si_diffusion_3x3x3 \
+    --samples 256 --correctors 8 --batch 16 --force_field 1.5 20.0 \
+    --noise_temperature 1.3 --sigma_window 0.01332947938261649 \
+    --output experiments/si_3x3x3_eval_c8_r5.json
+else
+  log "t3 failed — SKIPPING the n=256 payload; bisection needs a new fix"
+fi
 
 log "=== r5a queue done ==="

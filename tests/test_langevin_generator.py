@@ -592,3 +592,40 @@ def test_adaptive_corrector_default_is_inert(rng_key):
         adaptive_corrector_max_length_over_sigma=0.0
     )._coordinates_corrector_step_size(jnp.asarray(5), sigma, healthy, z)
     np.testing.assert_allclose(float(eps_default), float(eps_reference), rtol=1e-6)
+
+
+def test_max_steps_per_call_auto_policy():
+    """Auto chunking bounds network applications per compiled program at 1750
+    (the largest class proven clean on v5e at n=216); explicit values win.
+
+    Guards the round-5 fix for the reproducible c8 `UNAVAILABLE` fault
+    (experiments/repro_c8_fault.py): 250-step x 9-application programs kill
+    the device, so 8 correctors must auto-shorten the chunk.
+    """
+    assert make_generator(number_of_corrector_steps=6).max_steps_per_call == 250
+    assert make_generator(number_of_corrector_steps=8).max_steps_per_call == 194
+    assert make_generator(number_of_corrector_steps=0).max_steps_per_call == 250
+    # Repaint resampling adds predictor calls to the program.
+    assert (
+        make_generator(number_of_corrector_steps=6, repaint_resample_steps=4)
+        .max_steps_per_call
+        == 159
+    )
+    assert (
+        make_generator(number_of_corrector_steps=8, max_steps_per_call=77)
+        .max_steps_per_call
+        == 77
+    )
+    # Pathological corrector counts still yield a usable chunk.
+    assert make_generator(number_of_corrector_steps=100).max_steps_per_call == 25
+
+
+def test_chunked_sampling_matches_single_chunk(rng_key):
+    """Chunk boundaries are numerics-neutral: the chained compiled scans
+    produce bit-identical samples to one whole-trajectory scan."""
+    chunked = make_generator(number_of_corrector_steps=2, max_steps_per_call=3)
+    whole = make_generator(number_of_corrector_steps=2, max_steps_per_call=N_STEPS)
+    s1 = chunked.sample(rng_key, 4)
+    s2 = whole.sample(rng_key, 4)
+    np.testing.assert_array_equal(np.asarray(s1.X), np.asarray(s2.X))
+    np.testing.assert_array_equal(np.asarray(s1.A), np.asarray(s2.A))
