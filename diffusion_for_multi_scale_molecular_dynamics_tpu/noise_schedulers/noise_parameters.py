@@ -26,8 +26,18 @@ class NoiseParameters:
     sigma_min: float = 0.005
     sigma_max: float = 0.5
 
-    # Langevin corrector step scale (Song & Ermon).
-    corrector_step_epsilon: float = 2e-5
+    # Langevin corrector step scale (Song & Ermon). The reference ships the
+    # fixed constant 2e-5 (noise_parameters.py:5 there), calibrated for its
+    # sigma_min=0.005; with the production sigma_min=1e-4 that constant is
+    # ~500x the overdamped-Langevin stability bound eps_i < 2 sigma_i^2 and
+    # every corrector substep scrambles instead of equilibrating (the
+    # round-4 repaint-collapse root cause). "auto" (default) derives the
+    # value from the schedule at build time: eps = 2.5 * sigma_min^2, i.e.
+    # a stability ratio eps_i ~ 1.2 sigma_i^2 — inside the bound, at the
+    # mixing-optimal scale, and exactly reproducing the hand-calibrated
+    # production value 2.5e-8 at sigma_min=1e-4. Explicit floats are kept
+    # for reference-exact runs (the divergent-regime warning still fires).
+    corrector_step_epsilon: "float | str" = "auto"
 
     # Adaptive-corrector step-size ratio r (score_sde celeba default, kept
     # for reference parity). CAUTION: this image-model default is badly
@@ -44,3 +54,13 @@ class NoiseParameters:
         assert self.schedule_type in _VALID_SCHEDULE_TYPES, (
             f"The schedule type {self.schedule_type} is not supported."
         )
+        eps = self.corrector_step_epsilon
+        assert (isinstance(eps, str) and eps == "auto") or (
+            isinstance(eps, (int, float)) and eps > 0
+        ), f"corrector_step_epsilon must be 'auto' or a positive float, got {eps!r}"
+
+    def resolve_corrector_step_epsilon(self) -> float:
+        """The corrector step scale as a float, deriving 'auto' from sigma_min."""
+        if self.corrector_step_epsilon == "auto":
+            return 2.5 * self.sigma_min**2
+        return float(self.corrector_step_epsilon)

@@ -97,7 +97,7 @@ def build_noise_schedule(
     g = jnp.sqrt(g_squared)
 
     # eps_i = 0.5 * eps * sigma_i^2 / sigma_1^2, i = 0..N-1 (sigma_0 := sigma_min).
-    eps = noise_parameters.corrector_step_epsilon
+    eps = noise_parameters.resolve_corrector_step_epsilon()
     epsilon = 0.5 * eps * prev_sigma_squared / sigma_squared[0]
     sqrt_2_epsilon = jnp.sqrt(2.0 * epsilon)
 

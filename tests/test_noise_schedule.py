@@ -14,8 +14,12 @@ C = 4
 
 @pytest.fixture(params=["exponential", "linear"])
 def schedule(request):
+    # Reference-exact epsilon pinned explicitly: the convention test below
+    # checks the reference's 2e-5 tabulation (the dataclass default is now
+    # "auto", covered by tests/test_noise_schedule_guard.py).
     params = NoiseParameters(
-        total_time_steps=N, schedule_type=request.param, sigma_min=0.01, sigma_max=0.5
+        total_time_steps=N, schedule_type=request.param, sigma_min=0.01,
+        sigma_max=0.5, corrector_step_epsilon=2e-5,
     )
     return build_noise_schedule(params, num_classes=C)
 

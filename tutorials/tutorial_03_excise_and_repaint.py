@@ -95,7 +95,7 @@ def main():
         noise_parameters=NoiseParameters(
             total_time_steps=150, schedule_type="linear",
             sigma_min=1e-3, sigma_max=0.5,
-            corrector_step_epsilon=2.5e-6,
+            corrector_step_epsilon="auto",  # 2.5 * sigma_min^2 = 2.5e-6
         ),
         sampling_parameters=PredictorCorrectorSamplingParameters(
             num_atom_types=1,
