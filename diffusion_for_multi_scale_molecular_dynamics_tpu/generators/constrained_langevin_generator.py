@@ -95,28 +95,42 @@ class ConstrainedLangevinGenerator(LangevinGenerator):
         )
         return composition._replace(A=a, X=x)
 
-    def _scan_chunk(self, composition: AXL, key, indices, record: bool):
-        """Stash frozen per-trajectory constraint noise for coherent mode.
+    def _prepare_scan_key(self, key):
+        """Pair the scan key with a trajectory-constant frozen-noise key.
 
-        The frozen draws must be (a) constant across the time steps of a
-        scan chunk and (b) a function of the scan's *traced* key argument so
-        repeated calls of the compiled chunk stay independent. They are
-        created here — inside the trace, from the key argument — and stashed
-        on ``self`` only for the duration of the trace;
+        The pair flows opaquely through the base class's chunk chain (jit
+        sees a two-leaf pytree); ``_scan_chunk`` consumes the frozen leaf —
+        which it passes through unchanged — so the frozen constraint noise
+        is ONE draw for the entire trajectory, across every
+        ``max_steps_per_call`` chunk boundary.
+        """
+        if not self._coherent_renoising:
+            return key
+        return {"scan": key, "frozen": jax.random.fold_in(key, 0xC0E)}
+
+    def _scan_chunk(self, composition: AXL, key, indices, record: bool):
+        """Create the frozen per-trajectory constraint noise for coherent mode.
+
+        The frozen draws must be (a) constant across every time step of the
+        whole trajectory and (b) a function of a *traced* key argument so
+        repeated calls of the compiled chunk with different keys stay
+        independent. They are created here — inside the trace, from the
+        chain-constant ``frozen`` leaf of the key pair (``_prepare_scan_key``)
+        — and stashed on ``self`` only for the duration of the trace;
         ``_noise_known_composition`` (called from the substep while tracing
         the scan body) picks them up. The stash is cleared afterwards, and is
         never consulted at execution time (the compiled artifact closed over
-        the traced values).
-
-        Chunking caveat: ``sample`` chains chunks of ``max_steps_per_call``
-        (250) steps, each with an evolved key — the frozen draw refreshes at
-        chunk boundaries. A 1000-step trajectory sees 3 redraws instead of
-        the fresh-mode's one per substep (~3000): piecewise-coherent.
+        the traced values). Single-raw-key callers
+        (``sample_from_noisy_composition``) get the pair wrapped here, so a
+        standalone window is coherent too.
         """
         if not self._coherent_renoising:
             return super()._scan_chunk(composition, key, indices, record)
+        if not isinstance(key, dict):
+            key = self._prepare_scan_key(key)
+        key_scan, key_frozen = key["scan"], key["frozen"]
         batch_size = composition.X.shape[0]
-        key_z, key_u = jax.random.split(jax.random.fold_in(key, 0xC0E))
+        key_z, key_u = jax.random.split(key_frozen)
         self._frozen_noise = (
             jax.random.normal(
                 key_z,
@@ -130,9 +144,12 @@ class ConstrainedLangevinGenerator(LangevinGenerator):
             ),
         )
         try:
-            return super()._scan_chunk(composition, key, indices, record)
+            composition, key_scan, records = super()._scan_chunk(
+                composition, key_scan, indices, record
+            )
         finally:
             self._frozen_noise = None
+        return composition, {"scan": key_scan, "frozen": key_frozen}, records
 
     def _noise_known_composition(
         self, key, batch_size: int, idx

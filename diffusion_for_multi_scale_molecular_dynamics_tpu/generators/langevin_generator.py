@@ -197,6 +197,10 @@ class LangevinGenerator(AXLGenerator):
         ) + max(0, getattr(sampling_parameters, "repaint_resample_steps", 0))
         return max(25, min(250, 1750 // applications_per_step))
 
+    def _prepare_scan_key(self, key):
+        """Hook: wrap the scan key before the chunk chain (identity here)."""
+        return key
+
     # ------------------------------------------------------------- primitives
 
     def initialize(self, key, number_of_samples: int) -> AXL:
@@ -639,6 +643,10 @@ class LangevinGenerator(AXLGenerator):
         """
         key_init, key_scan = jax.random.split(key)
         composition = self.initialize(key_init, number_of_samples)
+        # Subclass hook: ConstrainedLangevinGenerator's coherent-renoising
+        # mode pairs the scan key with a trajectory-constant frozen key here,
+        # so the frozen constraint noise survives chunk boundaries.
+        key_scan = self._prepare_scan_key(key_scan)
         start = self.trajectory_initializer.create_start_time_step_index(
             self.schedule.total_time_steps
         )

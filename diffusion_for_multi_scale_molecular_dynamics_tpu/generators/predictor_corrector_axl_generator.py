@@ -37,7 +37,11 @@ class PredictorCorrectorSamplingParameters(SamplingParameters):
     # slots walked off even a pure-healing start. A frozen z is a valid
     # forward trajectory at every marginal, and the environment then
     # converges smoothly onto the constraint (round-4 results, "Repaint").
-    repaint_coherent_renoising: bool = False
+    # Default ON (beyond-reference): at production scale the frozen draw cuts
+    # healed-region run-to-run E/atom std 25x (0.0403 -> 0.0016,
+    # experiments/repaint_si_2x2x2_{tpu,coherent}_r4g.json) at identical
+    # median; False restores the fresh-per-level image-RePaint convention.
+    repaint_coherent_renoising: bool = True
     # Scale on the corrector noise: the corrector samples p(x)^(1/T) with
     # T = corrector_temperature^2 relative to the learned score. 1.0 is the
     # reference's (implicit) value; repeated correctors tend to quench the

@@ -229,3 +229,36 @@ def test_coherent_renoising_deterministic_and_distinct():
         np.broadcast_to(CONSTRAINT.constrained_relative_coordinates, (3, 2, 3)),
     )
     assert not (np.asarray(s1.A) == 1).any()
+
+
+def test_coherent_renoising_is_whole_trajectory_across_chunks(rng_key):
+    """Chunk boundaries must not redraw the frozen constraint noise: chunked
+    coherent sampling is bit-identical to one whole-trajectory scan (the
+    advisor's round-4 finding — the frozen z used to refresh every
+    max_steps_per_call chunk, making long trajectories only
+    piecewise-coherent)."""
+    constraint = SamplingConstraint(
+        elements=["Si"],
+        constrained_relative_coordinates=np.array(
+            [[0.1, 0.2, 0.3], [0.6, 0.7, 0.8]], dtype=np.float32
+        ),
+        constrained_atom_types=np.array([0, 0]),
+    )
+
+    def build(chunk):
+        params = PredictorCorrectorSamplingParameters(
+            num_atom_types=1,
+            number_of_atoms=N_ATOMS,
+            number_of_samples=3,
+            number_of_corrector_steps=1,
+            use_fixed_lattice_parameters=True,
+            cell_dimensions=[5.0, 5.0, 5.0],
+            repaint_coherent_renoising=True,
+            max_steps_per_call=chunk,
+        )
+        return ConstrainedLangevinGenerator(NOISE, params, fake_network, constraint)
+
+    chunked = build(3).sample(rng_key, 3)
+    whole = build(12).sample(rng_key, 3)
+    np.testing.assert_array_equal(np.asarray(chunked.X), np.asarray(whole.X))
+    np.testing.assert_array_equal(np.asarray(chunked.A), np.asarray(whole.A))
