@@ -183,11 +183,19 @@ class LangevinGenerator(AXLGenerator):
 
         Auto bounds the network applications per compiled program at the
         hardware-validated budget of 1750 (= 250 steps x (1 predictor + 6
-        correctors), the largest program class proven clean at n=216 on v5e).
-        250 x 9-application programs (8 correctors) reproducibly fault the
-        device with `UNAVAILABLE` (experiments/repro_c8_fault.py bisection);
-        shortening the chunk keeps the same math — chunk boundaries only
-        split the compiled scan, carrying the composition on device.
+        correctors)). Root cause, established by the round-5 bisection
+        (experiments/repro_c8_fault.py + c8_bisection_r5.json): the remote
+        TPU kills any single device call running longer than ~60 s
+        (`UNAVAILABLE`) — the same 2250-application program faults at batch
+        16 (~64 s/call) but runs clean at batch 8 (34.6 s/call), so the
+        limit is per-call *execution time*, not program size. The
+        application bound is a proxy that keeps per-call time inside the
+        proven <=50 s envelope at the production shapes (batch <= 16,
+        n = 216); larger batches are separately capped by the eval scripts'
+        VMEM guard. Shortening the chunk keeps the same math — chunk
+        boundaries only split the compiled scan, carrying the composition
+        (and PRNG chain) on device, bit-exactly
+        (tests/test_langevin_generator.py::test_chunked_sampling_matches_single_chunk).
         """
         explicit = getattr(sampling_parameters, "max_steps_per_call", 0)
         if explicit and explicit > 0:

@@ -78,7 +78,8 @@ class PredictorCorrectorSamplingParameters(SamplingParameters):
     # on device and do not change the math. 0 (default) = auto: bound the
     # per-program network-application count at the hardware-validated budget
     # (see LangevinGenerator._resolve_max_steps_per_call) — high corrector
-    # counts get shorter chunks, which avoids the reproducible
-    # TPU `UNAVAILABLE` fault of 9-application x 250-step programs at n=216
-    # (round-4/5 bisection, experiments/repro_c8_fault.py).
+    # counts get shorter chunks, keeping each device call under the remote
+    # TPU's ~60 s execution watchdog (the round-5-bisected root cause of the
+    # reproducible c8/n=216 `UNAVAILABLE` fault,
+    # experiments/repro_c8_fault.py + c8_bisection_r5.json).
     max_steps_per_call: int = 0

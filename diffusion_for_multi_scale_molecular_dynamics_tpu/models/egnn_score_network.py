@@ -77,6 +77,17 @@ class EGNNScoreNetworkConfig(ScoreNetworkConfig):
     # Pallas-fused message block: the [B, N, N, H] per-pair activations stay
     # in VMEM (see egnn_fused.py). Requires attention=False, normalize=False.
     use_fused_message_block: bool = False
+    # Lattice-parameter score head (round 5, beyond the reference's zeros —
+    # its egnn_score_network.py:300 hard-codes L=0, so the reference EGNN
+    # cannot diffuse a lattice at all). A masked mean over the final node
+    # features (translation/permutation invariant: EGCL messages depend only
+    # on coordinate differences) is concatenated with sigma and the lattice
+    # parameters themselves — the trunk never sees L in fully_connected mode
+    # — and read out by a small SiLU MLP. Default off: enabling it adds
+    # parameters, which would break restore of pre-round-5 checkpoints.
+    predict_lattice_parameter_scores: bool = False
+    lattice_head_n_hidden_dimensions: int = 2
+    lattice_head_hidden_dimensions_size: int = 64
 
     def __post_init__(self):
         assert self.edges in ("fully_connected", "radial_cutoff"), (
@@ -308,10 +319,20 @@ class EGNNScoreNetwork(nn.Module):
 
         sigma = batch[NOISE]  # [B, 1]
         onehot = jax.nn.one_hot(composition.A, cfg.num_classes, dtype=jnp.float32)
-        h = jnp.concatenate(
-            [jnp.broadcast_to(sigma[:, None, :], (batch_size, n, 1)), onehot],
-            axis=-1,
-        )
+        node_features = [
+            jnp.broadcast_to(sigma[:, None, :], (batch_size, n, 1)), onehot,
+        ]
+        if cfg.predict_lattice_parameter_scores:
+            # Lattice-diffusing mode conditions every head on L: in
+            # fully_connected mode nothing else sees the lattice, and the X
+            # score of a free-lattice model physically depends on the cell.
+            node_features.append(
+                jnp.broadcast_to(
+                    composition.L[:, None, :],
+                    (batch_size, n, composition.L.shape[-1]),
+                )
+            )
+        h = jnp.concatenate(node_features, axis=-1)
 
         atom_mask = batch.get(ATOM_MASK)
         edge_weights = self._edge_weights(composition, atom_mask)
@@ -333,5 +354,32 @@ class EGNNScoreNetwork(nn.Module):
         wave_amplitude = zs0 * zc - zc0 * zs  # [B, N, K]
         scores = jnp.einsum("bnk,kd->bnd", wave_amplitude, bloch)
 
-        output = AXL(A=logits, X=scores, L=jnp.zeros_like(composition.L))
+        if cfg.predict_lattice_parameter_scores:
+            if atom_mask is None:
+                mask = jnp.ones((batch_size, n), jnp.float32)
+            else:
+                mask = atom_mask.astype(jnp.float32)
+            denom = jnp.clip(jnp.sum(mask, axis=1, keepdims=True), min=1.0)
+            pooled = jnp.sum(
+                h.astype(jnp.float32) * mask[..., None], axis=1
+            ) / denom  # [B, F]
+            lattice_features = jnp.concatenate(
+                [pooled, sigma, composition.L], axis=-1
+            )
+            for i in range(cfg.lattice_head_n_hidden_dimensions):
+                lattice_features = nn.silu(
+                    nn.Dense(
+                        cfg.lattice_head_hidden_dimensions_size,
+                        name=f"lattice_head_{i}",
+                    )(lattice_features)
+                )
+            l_scores = nn.Dense(
+                composition.L.shape[-1], name="lattice_head_out"
+            )(lattice_features)
+        else:
+            # Reference parity: the reference EGNN predicts zeros for L
+            # (egnn_score_network.py:300 there).
+            l_scores = jnp.zeros_like(composition.L)
+
+        output = AXL(A=logits, X=scores, L=l_scores)
         return impose_non_mask_atomic_type_prediction(output)

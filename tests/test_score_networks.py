@@ -236,3 +236,52 @@ def test_validate_batch_catches_bad_coordinates(rng_key):
     batch[NOISY_AXL_COMPOSITION] = comp._replace(X=comp.X + 1.5)
     with pytest.raises(AssertionError):
         validate_score_network_batch(batch, cfg)
+
+
+def test_egnn_lattice_head(rng_key):
+    """predict_lattice_parameter_scores=True (round 5): finite nonzero L
+    scores that are permutation- and translation-invariant and sensitive to
+    the lattice input (the trunk never sees L in fully_connected mode).
+    The reference EGNN hard-codes L=0 (its egnn_score_network.py:300)."""
+    batch = make_batch(rng_key)
+    cfg = EGNNScoreNetworkConfig(
+        num_atom_types=NUM_TYPES, n_layers=2,
+        predict_lattice_parameter_scores=True,
+        lattice_head_n_hidden_dimensions=1,
+        lattice_head_hidden_dimensions_size=16,
+    )
+    net = EGNNScoreNetwork(cfg)
+    params = net.init(rng_key, batch, False)
+    out = net.apply(params, batch, False)
+    check_output(out)
+    lattice_scores = np.asarray(out.L)
+    assert np.isfinite(lattice_scores).all()
+    assert (lattice_scores != 0.0).any()
+
+    comp = batch[NOISY_AXL_COMPOSITION]
+    # Permutation invariance of the global L readout.
+    perm = np.array([3, 1, 0, 2])
+    permuted = dict(batch)
+    permuted[NOISY_AXL_COMPOSITION] = comp._replace(A=comp.A[:, perm], X=comp.X[:, perm])
+    out_perm = net.apply(params, permuted, False)
+    np.testing.assert_allclose(np.asarray(out_perm.L), lattice_scores, atol=1e-5)
+
+    # Translation invariance.
+    translated = dict(batch)
+    translated[NOISY_AXL_COMPOSITION] = comp._replace(
+        X=jnp.remainder(comp.X + jnp.array([0.13, 0.47, 0.81]), 1.0)
+    )
+    out_t = net.apply(params, translated, False)
+    np.testing.assert_allclose(np.asarray(out_t.L), lattice_scores, atol=5e-5)
+
+    # Lattice sensitivity: a different L must change the L score.
+    rescaled = dict(batch)
+    rescaled[NOISY_AXL_COMPOSITION] = comp._replace(L=comp.L * 1.3)
+    out_l = net.apply(params, rescaled, False)
+    assert np.abs(np.asarray(out_l.L) - lattice_scores).max() > 1e-6
+
+    # Off by default: parameter tree unchanged, L stays zeros (reference
+    # parity; pre-round-5 checkpoints restore cleanly).
+    cfg_off = EGNNScoreNetworkConfig(num_atom_types=NUM_TYPES, n_layers=2)
+    params_off = EGNNScoreNetwork(cfg_off).init(rng_key, batch, False)
+    assert not any("lattice_head" in k for k in params_off["params"])
