@@ -34,7 +34,16 @@ def main():
     parser.add_argument("--noise_temperature", type=float, default=1.22,
                         help="calibrate per system with experiments/probe_reheat.py")
     parser.add_argument("--temperature_sigma_max", type=float, default=0.02)
+    parser.add_argument("--natoms", type=int, default=8,
+                        help="atoms per sample (8 = 1x1x1, 64 = 2x2x2)")
+    parser.add_argument("--cell", type=float, nargs=3,
+                        default=[5.543, 5.543, 5.543])
+    parser.add_argument("--out", default=None)
     args = parser.parse_args()
+
+    global NATOMS, CELL
+    NATOMS = args.natoms
+    CELL = list(args.cell)
 
     import jax
     import pandas as pd
@@ -136,9 +145,10 @@ def main():
     ks = ks_2samp(energies, reference)
     result = {
         "samples": args.samples,
+        "natoms": NATOMS,
         "noise_temperature": args.noise_temperature,
         "temperature_sigma_max": args.temperature_sigma_max,
-        "fraction_correct_stoichiometry": float(np.mean(si_counts == 4)),
+        "fraction_correct_stoichiometry": float(np.mean(si_counts == NATOMS // 2)),
         "mean_si_count": float(si_counts.mean()),
         "nearest_neighbor_unlike_fraction": float(ordering),
         "energy_per_atom_median": float(np.median(energies) / NATOMS),
@@ -147,7 +157,7 @@ def main():
         "ks_energy_pvalue": float(ks.pvalue),
     }
     print(json.dumps(result))
-    out = os.path.join(args.checkpoint, "eval_sige.json")
+    out = args.out or os.path.join(args.checkpoint, "eval_sige.json")
     json.dump(result, open(out, "w"), indent=1)
 
 
