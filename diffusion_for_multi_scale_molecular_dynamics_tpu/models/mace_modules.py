@@ -41,6 +41,7 @@ from ..ops.irreps_layers import (
     polynomial_cutoff,
     tensor_product_paths,
     weighted_tensor_product,
+    weighted_tensor_product_j_contracted,
 )
 from ..ops.so3 import (
     Irrep,
@@ -267,6 +268,17 @@ class MaceInteraction(nn.Module):
     # counts. Same parameters, same algebra; backward falls back to the
     # dense reference through a custom VJP.
     use_fused_edge_kernel: bool = False
+    # Edge-stage formulation (round-5 MXU layout v1):
+    #   "j_gemm"   — contract the pair axis J inside MXU-shaped batched
+    #                GEMMs (ops/irreps_layers.weighted_tensor_product_
+    #                j_contracted); the [B,N,J,target_dim] per-edge message
+    #                tensor that dominated the dense path's HBM traffic
+    #                (round-4 cost anatomy, 3.6% MFU) never materializes.
+    #   "messages" — materialize per-edge messages then sum over J (the
+    #                round-1..4 dense path; bit-for-bit the original order).
+    # Same algebra either way (parity pinned to ~1e-6 relative by
+    # tests/test_irreps_layers.py).
+    edge_contraction: str = "j_gemm"
 
     @nn.compact
     def __call__(self, node_feats, node_attrs, harmonics, distances, pair_mask):
@@ -366,16 +378,28 @@ class MaceInteraction(nn.Module):
             sources[:, None, :, :],
             sources.shape[:1] + (natoms,) + sources.shape[1:],
         )
-        messages = weighted_tensor_product(
-            source_feats,
-            harmonics.astype(node_feats.dtype),
-            tp_weights,
-            irreps_in,
-            self.lmax_sh,
-            irreps_target,
-            paths=paths,
-        )
-        aggregated = jnp.sum(messages, axis=2) / self.avg_num_neighbors
+        if self.edge_contraction == "j_gemm":
+            aggregated = weighted_tensor_product_j_contracted(
+                source_feats,
+                harmonics.astype(node_feats.dtype),
+                tp_weights,
+                irreps_in,
+                self.lmax_sh,
+                irreps_target,
+                paths=paths,
+            ) / self.avg_num_neighbors
+        else:
+            assert self.edge_contraction == "messages", self.edge_contraction
+            messages = weighted_tensor_product(
+                source_feats,
+                harmonics.astype(node_feats.dtype),
+                tp_weights,
+                irreps_in,
+                self.lmax_sh,
+                irreps_target,
+                paths=paths,
+            )
+            aggregated = jnp.sum(messages, axis=2) / self.avg_num_neighbors
         aggregated = IrrepsLinear(
             str(irreps_target), str(irreps_target), name="linear"
         )(aggregated)
@@ -417,6 +441,7 @@ class MaceFeatureExtractor(nn.Module):
     avg_num_neighbors: float = 1.0
     radial_mlp: Tuple[int, ...] = (64, 64, 64)
     use_fused_edge_kernel: bool = False
+    edge_contraction: str = "j_gemm"
 
     @nn.compact
     def __call__(self, node_attrs, vectors, distances, pair_mask, conditioning=None):
@@ -466,6 +491,7 @@ class MaceFeatureExtractor(nn.Module):
                 r_max=self.r_max,
                 residual=index > 0,
                 use_fused_edge_kernel=self.use_fused_edge_kernel,
+                edge_contraction=self.edge_contraction,
                 name=f"interaction_{index}",
             )(node_feats, node_attrs, harmonics, distances, pair_mask)
             contracted = SymmetricContraction(

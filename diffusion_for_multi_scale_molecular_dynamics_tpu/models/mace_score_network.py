@@ -106,6 +106,11 @@ class MaceScoreNetworkConfig(ScoreNetworkConfig):
     # parameters and algebra as the dense path, per-pair tensors kept in
     # VMEM. Checkpoint-compatible in both directions (no layout change).
     use_fused_edge_kernel: bool = False
+    # Edge-stage formulation: "j_gemm" (round-5 default — contract the pair
+    # axis inside MXU-shaped GEMMs, no per-edge message tensor) or
+    # "messages" (the original materialize-then-sum order). Same algebra,
+    # checkpoint-compatible both ways (mace_modules.MaceInteraction).
+    edge_contraction: str = "j_gemm"
 
     def __post_init__(self):
         assert self.prediction_head in ("mlp", "equivariant")
@@ -288,6 +293,7 @@ class MaceScoreNetwork(nn.Module):
             avg_num_neighbors=cfg.avg_num_neighbors,
             radial_mlp=tuple(cfg.radial_mlp),
             use_fused_edge_kernel=cfg.use_fused_edge_kernel,
+            edge_contraction=cfg.edge_contraction,
             name="mace",
         )
         if cfg.condition_on_sigma:

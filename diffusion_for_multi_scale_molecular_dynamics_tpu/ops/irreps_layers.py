@@ -21,7 +21,7 @@ come from :mod:`.so3` and are baked into the jaxpr as constants.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -252,3 +252,97 @@ def polynomial_cutoff(distances, r_max: float, p: int = 5):
         - (p * (p + 1.0) / 2.0) * x ** (p + 2)
     )
     return jnp.where(distances < r_max, out, 0.0)
+
+
+def weighted_tensor_product_j_contracted(
+    features,
+    harmonics,
+    weights,
+    irreps_features: Irreps,
+    lmax_sh: int,
+    irreps_target: Irreps,
+    paths: Optional[Sequence[Tuple[int, int, int]]] = None,
+):
+    """``sum_j weighted_tensor_product(...)`` as MXU-shaped J-GEMMs.
+
+    Same math as ``weighted_tensor_product`` followed by a sum over the pair
+    axis (features/harmonics/weights are [B, N, J, ...]; returns
+    [B, N, irreps_target.dim]), but reorganized so the J contraction is a
+    single batched GEMM per feature group instead of a materialize-then-
+    reduce over per-edge messages:
+
+      * group the paths by source feature group i_f;
+      * left operand  L[b,n,j,(p,u,a)] = w_p[b,n,j,u] * f[b,n,j,u,a]
+        (an elementwise broadcast product XLA fuses into the dot read);
+      * one dot_general contracting j against the FULL harmonic row
+        y[b,n,j,(lmax_sh+1)^2]  ->  O[b,n,(p,u,a),y]  (J-free, small);
+      * per path, slice O at (p, y-block of l_sh) and contract the tiny
+        Clebsch-Gordan [a,b,c].
+
+    Why: the round-4 cost anatomy (experiments/round4_results.md, "Fused
+    MACE edge kernel") showed the per-edge message tensor
+    [B,N,J,target_dim] (~0.9 GB written + read) dominating an HBM-bound
+    interaction at 3.6% MFU; contracting J inside the GEMM never
+    materializes it, and K = J (e.g. 216) is an MXU-friendly contraction
+    depth — unlike the fused Pallas kernel's [J,8]x[8,32] per-(atom,path)
+    GEMMs that measured 2.4x slower (arch_timing_r4.json).
+
+    Masking contract: invalid pairs must already be zeroed in ``weights``
+    (exactly as for ``weighted_tensor_product``).
+    """
+    irreps_features = Irreps(irreps_features)
+    irreps_target = Irreps(irreps_target)
+    if paths is None:
+        paths = tensor_product_paths(irreps_features, lmax_sh, irreps_target)
+    feature_blocks = split_irreps(features, irreps_features)
+    n_paths = len(paths)
+    channels = irreps_features[0][0]
+    assert weights.shape[-1] == n_paths * channels, (
+        weights.shape, n_paths, channels,
+    )
+    path_weights = weights.reshape(weights.shape[:-1] + (n_paths, channels))
+
+    fan_in = {i_t: 0 for i_t in range(len(irreps_target))}
+    for _, _, i_t in paths:
+        fan_in[i_t] += 1
+
+    # Group paths by source feature block.
+    groups: Dict[int, List[Tuple[int, int, int]]] = {}
+    for p_index, (i_f, l_sh, i_t) in enumerate(paths):
+        groups.setdefault(i_f, []).append((p_index, l_sh, i_t))
+
+    batch_shape = features.shape[:-1]  # [B, N, J]
+    accumulators: List[Optional[jnp.ndarray]] = [None] * len(irreps_target)
+    for i_f, group in groups.items():
+        block = feature_blocks[i_f]  # [B, N, J, u, a]
+        a_dim = block.shape[-1]
+        w_group = path_weights[..., [p for p, _, _ in group], :]  # [B,N,J,P,u]
+        left = (
+            w_group[..., None] * block[..., None, :, :]
+        )  # [B, N, J, P, u, a]
+        left = left.reshape(batch_shape + (len(group) * channels * a_dim,))
+        # O[b, n, (p,u,a), y]: contract j on the MXU.
+        coupled = jnp.einsum("bnjk,bnjy->bnky", left, harmonics)
+        coupled = coupled.reshape(
+            batch_shape[:2] + (len(group), channels, a_dim, harmonics.shape[-1])
+        )
+        for g_index, (p_index, l_sh, i_t) in enumerate(group):
+            mul_t, ir_t = irreps_target[i_t]
+            ir_f = irreps_features[i_f][1]
+            coupling = jnp.asarray(
+                clebsch_gordan(ir_f.l, l_sh, ir_t.l), dtype=features.dtype
+            )
+            o_slice = coupled[
+                :, :, g_index, :, :, l_sh * l_sh:(l_sh + 1) * (l_sh + 1)
+            ]  # [B, N, u, a, b]
+            term = jnp.einsum("xyc,bnuxy->bnuc", coupling, o_slice)
+            if accumulators[i_t] is None:
+                accumulators[i_t] = term
+            else:
+                accumulators[i_t] = accumulators[i_t] + term
+    blocks_out = []
+    for i_t, (mul_t, ir_t) in enumerate(irreps_target):
+        block = accumulators[i_t]
+        assert block is not None, f"no path reaches target group {i_t}"
+        blocks_out.append(block / math.sqrt(fan_in[i_t]))
+    return concat_irreps(blocks_out)

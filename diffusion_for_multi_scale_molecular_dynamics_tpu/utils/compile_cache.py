@@ -29,8 +29,17 @@ def enable_persistent_compilation_cache(cache_dir: str = None) -> str:
     global _enabled
     import jax
 
+    default_dir = _DEFAULT_CACHE_DIR
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        # CPU runs (tests, dev drives) compile in milliseconds; caching them
+        # into the repo only churns the committed, bench-traced TPU cache
+        # (round-4 verdict: ~20 drifted entries after every dev session).
+        # Keep CPU entries out of the tree by default.
+        default_dir = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), "dfmsmd_cpu_compile_cache"
+        )
     cache_dir = cache_dir or os.environ.get(
-        "DFMSMD_COMPILATION_CACHE_DIR", _DEFAULT_CACHE_DIR
+        "DFMSMD_COMPILATION_CACHE_DIR", default_dir
     )
     if not _enabled:
         os.makedirs(cache_dir, exist_ok=True)

@@ -130,34 +130,53 @@ def main(argv=None):
                "schedule_forwards": forwards, "architectures": {}}
 
     # ----------------------------------------------------------------- MACE
+    # Variants (round-5 MXU layout v1): the j_gemm edge contraction (new
+    # default — no per-edge message tensor), the original messages order,
+    # and j_gemm with a bfloat16 trunk (activation traffic halved; weights
+    # are cast at use sites so the f32 checkpoint params are reused).
+    import yaml
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.training.instantiate_diffusion_model import (
+        load_diffusion_model,
+    )
+
     mace = load_axl_network_from_checkpoint(mace_ckpt, prefer="last")
-    mace_t = _time_forward(mace, batch)
-    mace_flops = _cost_flops(mace, batch)
-    results["architectures"]["mace"] = {
-        "checkpoint": mace_ckpt,
-        "forward_ms": round(mace_t * 1e3, 3),
-        "flops_per_forward": mace_flops,
-        "samples_per_s_500x4": round(batch_size / (forwards * mace_t), 3),
-        "mfu": round(mace_flops / mace_t / peak, 5)
-        if (mace_flops and peak) else None,
-    }
-    print("mace:", results["architectures"]["mace"], flush=True)
+    mace_params = mace.args[0]
+    with open(os.path.join(mace_ckpt, "config_backup.yaml")) as fh:
+        mace_hyper = yaml.safe_load(fh)
+
+    mace_flops = None
+    for tag, overrides in [
+        ("mace_messages", {"edge_contraction": "messages"}),
+        ("mace_j_gemm", {"edge_contraction": "j_gemm"}),
+        ("mace_j_gemm_bf16",
+         {"edge_contraction": "j_gemm", "compute_dtype": "bfloat16"}),
+    ]:
+        hyper = yaml.safe_load(yaml.safe_dump(mace_hyper))
+        hyper["model"]["score_network"].update(overrides)
+        variant_network, _ = load_diffusion_model(hyper)
+        variant_fn = lambda b: variant_network.apply(mace_params, b, False)
+        variant_t = _time_forward(variant_fn, batch)
+        if mace_flops is None:
+            mace_flops = _cost_flops(variant_fn, batch)
+        results["architectures"][tag] = {
+            "checkpoint": mace_ckpt,
+            "forward_ms": round(variant_t * 1e3, 3),
+            "flops_per_forward": mace_flops,
+            "samples_per_s_500x4": round(batch_size / (forwards * variant_t), 3),
+            "mfu": round(mace_flops / variant_t / peak, 5)
+            if (mace_flops and peak) else None,
+        }
+        print(tag + ":", results["architectures"][tag], flush=True)
+    results["architectures"]["mace"] = results["architectures"]["mace_j_gemm"]
 
     if args.mace_fused:
         # Same checkpoint parameters through the Pallas-fused edge pipeline
         # (models/mace_edge_fused.py); FLOPs are algebraically identical to
         # the dense program, so the dense cost analysis carries over.
-        import yaml
-
-        from diffusion_for_multi_scale_molecular_dynamics_tpu.training.instantiate_diffusion_model import (
-            load_diffusion_model,
-        )
-
-        with open(os.path.join(mace_ckpt, "config_backup.yaml")) as fh:
-            hyper = yaml.safe_load(fh)
+        hyper = yaml.safe_load(yaml.safe_dump(mace_hyper))
         hyper["model"]["score_network"]["use_fused_edge_kernel"] = True
         fused_network, _ = load_diffusion_model(hyper)
-        mace_params = mace.args[0]
         fused_t = _time_forward(
             lambda b: fused_network.apply(mace_params, b, False), batch
         )

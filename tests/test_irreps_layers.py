@@ -174,3 +174,41 @@ class TestRadialEmbedding:
         grad = jax.grad(lambda x: polynomial_cutoff(x, 5.0, 5))
         assert abs(float(grad(jnp.asarray(1e-6)))) < 1e-3
         assert abs(float(grad(jnp.asarray(5.0 - 1e-6)))) < 1e-3
+
+
+def test_weighted_tensor_product_j_contracted_matches_messages():
+    """The MXU-shaped J-GEMM edge formulation (round-5 MACE layout v1) must
+    equal materialize-messages-then-sum to float tolerance for every path
+    structure the trunk uses."""
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.ops.irreps_layers import (
+        weighted_tensor_product_j_contracted,
+    )
+
+    for spec_in, spec_tgt, lmax in [
+        ("8x0e + 8x1o", "8x0e + 8x1o + 8x2e", 2),
+        ("4x0e + 4x1o + 4x2e", "4x0e + 4x1o + 4x2e + 4x3o", 3),
+        ("8x0e", "8x0e + 8x1o", 1),
+    ]:
+        irreps_in, irreps_tgt = Irreps(spec_in), Irreps(spec_tgt)
+        paths = tensor_product_paths(irreps_in, lmax, irreps_tgt)
+        channels = irreps_in[0][0]
+        key = jax.random.PRNGKey(11)
+        batch, natoms, pairs = 2, 3, 7
+        f = jax.random.normal(key, (batch, natoms, pairs, irreps_in.dim))
+        y = jax.random.normal(
+            jax.random.fold_in(key, 1), (batch, natoms, pairs, (lmax + 1) ** 2)
+        )
+        w = jax.random.normal(
+            jax.random.fold_in(key, 2),
+            (batch, natoms, pairs, len(paths) * channels),
+        )
+        messages = weighted_tensor_product(
+            f, y, w, irreps_in, lmax, irreps_tgt, paths=paths
+        )
+        reference = jnp.sum(messages, axis=2)
+        contracted = weighted_tensor_product_j_contracted(
+            f, y, w, irreps_in, lmax, irreps_tgt, paths=paths
+        )
+        np.testing.assert_allclose(
+            np.asarray(contracted), np.asarray(reference), rtol=2e-5, atol=2e-5
+        )

@@ -105,6 +105,7 @@ def test_custom_vjp_matches_dense_grad(inputs):
     )
 
 
+@pytest.mark.slow
 def test_full_mace_network_fused_matches_dense():
     """Same params, same outputs: the fused flag changes no layout."""
     import dataclasses

@@ -206,6 +206,7 @@ class TestMaceEquivariance:
             np.asarray(pout.X), np.asarray(out.X)[:, perm], rtol=5e-3, atol=3e-3
         )
 
+    @pytest.mark.slow
     def test_padding_mask_invariance(self, config, batch, network_and_params):
         """Adding padded atoms must not change real-atom outputs."""
         network, params = network_and_params

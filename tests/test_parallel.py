@@ -96,6 +96,7 @@ def test_sharded_sampling_matches_single_device(mesh):
     np.testing.assert_array_equal(np.asarray(sharded.A), np.asarray(plain.A))
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step_runs(mesh):
     """The sharded train step executes and produces finite grads/loss."""
     import __graft_entry__
@@ -103,6 +104,7 @@ def test_data_parallel_train_step_runs(mesh):
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step_matches_single_device(mesh):
     """One train step on the 8-device data mesh produces the same loss and
     updated parameters as the unsharded step on the identical batch/key —

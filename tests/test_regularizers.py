@@ -170,6 +170,7 @@ def test_regression_regularizer_factory_and_loss(rng_key):
     assert np.isfinite(float(loss)) and float(loss) > 0.0
 
 
+@pytest.mark.slow
 def test_training_with_fokker_planck_regularizer(tmp_path):
     """End-to-end: the train CLI runs with a regularizer configured."""
     import yaml

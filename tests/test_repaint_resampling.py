@@ -12,6 +12,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffusion_for_multi_scale_molecular_dynamics_tpu.generators import (
     LangevinGenerator,
@@ -185,6 +186,7 @@ def test_coherent_renoising_constraint_follows_frozen_z():
     assert not regressions.any(), "a constrained atom re-masked"
 
 
+@pytest.mark.slow
 def test_coherent_renoising_deterministic_and_distinct():
     generator = ConstrainedLangevinGenerator(
         NOISE, make_coherent_params(), fake_network, CONSTRAINT

@@ -163,6 +163,7 @@ def test_egnn_translation_invariance(rng_key):
     )
 
 
+@pytest.mark.slow
 def test_analytical_score_network_matches_single_gaussian(rng_key):
     # With one atom and one equilibrium position, the analytical score equals
     # the wrapped-Gaussian score with the effective sigma.

@@ -103,6 +103,7 @@ def test_train_diffusion_smoke_and_resume(tmp_path, config_path):
         main(["--config", str(bad_path), "--output", output])
 
 
+@pytest.mark.slow
 def test_train_diffusion_with_ema(tmp_path):
     """EMA training: ema_params tracked, checkpointed, and preferred on restore."""
     import numpy as np

@@ -71,6 +71,7 @@ def test_train_egnn_on_lammps_data(tmp_path, raw_data):
     assert "validation_epoch_loss" in content
 
 
+@pytest.mark.slow
 def test_train_mlp_with_optimal_transport(tmp_path):
     """The OT-aligned noising path (host LAP via pure_callback) in training."""
     from tests.test_train_diffusion import make_config as make_gaussian_config
