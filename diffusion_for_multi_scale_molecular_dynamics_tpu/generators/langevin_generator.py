@@ -643,24 +643,11 @@ class LangevinGenerator(AXLGenerator):
         )
         return composition
 
-    def sample(self, key, number_of_samples: int) -> AXL:
-        """Generate ``number_of_samples`` compositions.
-
-        The whole reverse trajectory runs on device as chained compiled scans
-        of at most ``max_steps_per_call`` steps each.
-        """
-        key_init, key_scan = jax.random.split(key)
-        composition = self.initialize(key_init, number_of_samples)
-        # Subclass hook: ConstrainedLangevinGenerator's coherent-renoising
-        # mode pairs the scan key with a trajectory-constant frozen key here,
-        # so the frozen constraint noise survives chunk boundaries.
-        key_scan = self._prepare_scan_key(key_scan)
-        start = self.trajectory_initializer.create_start_time_step_index(
-            self.schedule.total_time_steps
-        )
-        end = self.trajectory_initializer.create_end_time_step_index()
-        all_indices = jnp.arange(start - 1, end - 1, -1)
-
+    def _chained_scan(self, composition: AXL, key_scan, all_indices):
+        """Run the index window as chained compiled scans of at most
+        ``max_steps_per_call`` steps, carrying composition + PRNG chain on
+        device (bit-exact vs one whole-window scan). Returns the final
+        composition and the evolved key."""
         chunk = self.max_steps_per_call
         all_records = []
         for offset in range(0, all_indices.shape[0], chunk):
@@ -683,4 +670,45 @@ class LangevinGenerator(AXLGenerator):
                 lambda *xs: jnp.concatenate(xs, axis=0), *all_records
             )
             self.sample_trajectory_recorder.record("predictor_step", stacked)
+        return composition, key_scan
+
+    def sample_window(
+        self,
+        key,
+        composition: AXL,
+        starting_step_index: int,
+        ending_step_index: int = 0,
+    ) -> AXL:
+        """Denoise ``composition`` from one-based ``starting_step_index`` down
+        to ``ending_step_index``, chunked like :meth:`sample` (so arbitrarily
+        long windows stay under the per-call execution budget).
+
+        The two-phase corrector schedule builds on this: run one generator at
+        a cheap corrector count to the freeze-out window, then a second
+        generator (sharing the network) with a large corrector budget below
+        it — each phase a separately-chunked chain over the same schedule.
+        """
+        key_scan = self._prepare_scan_key(key)
+        indices = jnp.arange(starting_step_index - 1, ending_step_index - 1, -1)
+        composition, _ = self._chained_scan(composition, key_scan, indices)
+        return composition
+
+    def sample(self, key, number_of_samples: int) -> AXL:
+        """Generate ``number_of_samples`` compositions.
+
+        The whole reverse trajectory runs on device as chained compiled scans
+        of at most ``max_steps_per_call`` steps each.
+        """
+        key_init, key_scan = jax.random.split(key)
+        composition = self.initialize(key_init, number_of_samples)
+        # Subclass hook: ConstrainedLangevinGenerator's coherent-renoising
+        # mode pairs the scan key with a trajectory-constant frozen key here,
+        # so the frozen constraint noise survives chunk boundaries.
+        key_scan = self._prepare_scan_key(key_scan)
+        start = self.trajectory_initializer.create_start_time_step_index(
+            self.schedule.total_time_steps
+        )
+        end = self.trajectory_initializer.create_end_time_step_index()
+        all_indices = jnp.arange(start - 1, end - 1, -1)
+        composition, _ = self._chained_scan(composition, key_scan, all_indices)
         return composition

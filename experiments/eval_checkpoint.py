@@ -134,12 +134,48 @@ def evaluate(axl_network, oracle, reference_energies, reference_distances, spec,
     # fused-path checkpoints can likely raise this after a hardware check.
     vmem_guard = max(8, min(64, (16 * 216 * 216) // max(NATOMS * NATOMS, 1)))
     chunk = min(spec.get("batch", vmem_guard), spec["samples"])
+
+    # Two-phase corrector schedule (round 5): cheap correctors down to the
+    # freeze-out window (sigma <= phase2_sigma_threshold), then a second
+    # generator sharing the network with a large corrector budget below it.
+    # Targets the Si 3x3x3 defect tail at a fraction of uniform-c8 cost.
+    phase2_correctors = spec.get("phase2_correctors")
+    generator2 = None
+    switch_index = None
+    if phase2_correctors and hasattr(generator, "sample_window"):
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        sigma_table = _np.asarray(generator.schedule.noise.sigma)
+        threshold = spec.get("phase2_sigma_threshold", 0.02)
+        # One-based switch index: phase 1 covers (total, switch], phase 2
+        # covers (switch, 0] — together exactly the full trajectory.
+        switch_index = int(_np.searchsorted(sigma_table, threshold))
+        generator2 = LangevinGenerator(
+            noise_parameters,
+            _dc.replace(
+                sampling_parameters, number_of_corrector_steps=phase2_correctors
+            ),
+            axl_network,
+        )
+
     pieces = []
     t0 = time.time()
     remaining = spec["samples"]
     while remaining > 0:
         key, sub = _jax.random.split(key)
-        pieces.append(generator.sample(sub, chunk))
+        if generator2 is not None:
+            key_init, key_p1, key_p2 = _jax.random.split(sub, 3)
+            composition = generator.initialize(key_init, chunk)
+            composition = generator.sample_window(
+                key_p1, composition, spec.get("steps", 1000), switch_index
+            )
+            pieces.append(
+                generator2.sample_window(key_p2, composition, switch_index, 0)
+            )
+        else:
+            pieces.append(generator.sample(sub, chunk))
         _jax.block_until_ready(pieces[-1].X)
         remaining -= chunk
     elapsed = time.time() - t0
@@ -299,6 +335,10 @@ def main(argv=None):
     )
     parser.add_argument("--noise_temperature", type=float, default=None)
     parser.add_argument("--sigma_window", type=float, default=None)
+    parser.add_argument("--phase2_correctors", type=int, default=None,
+                        help="two-phase sampling: corrector substeps below "
+                        "phase2_sigma_threshold (phase 1 uses --correctors)")
+    parser.add_argument("--phase2_sigma_threshold", type=float, default=None)
     parser.add_argument(
         "--force_field", type=float, nargs=2, default=None,
         metavar=("RADIAL_CUTOFF", "STRENGTH"),
@@ -366,6 +406,8 @@ def main(argv=None):
             ("batch", args.batch),
             ("noise_temperature", args.noise_temperature),
             ("sigma_window", args.sigma_window),
+            ("phase2_correctors", args.phase2_correctors),
+            ("phase2_sigma_threshold", args.phase2_sigma_threshold),
         )
         if value is not None
     }

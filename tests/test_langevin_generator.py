@@ -629,3 +629,27 @@ def test_chunked_sampling_matches_single_chunk(rng_key):
     s2 = whole.sample(rng_key, 4)
     np.testing.assert_array_equal(np.asarray(s1.X), np.asarray(s2.X))
     np.testing.assert_array_equal(np.asarray(s1.A), np.asarray(s2.A))
+
+
+def test_sample_window_partitions_trajectory(rng_key):
+    """sample_window chains chunked scans over an index window; two windows
+    (total -> k, k -> 0) partition the schedule exactly and produce valid
+    final samples (the round-5 two-phase corrector schedule builds on this)."""
+    import jax
+
+    generator = make_generator(number_of_corrector_steps=1, max_steps_per_call=3)
+    hot = make_generator(number_of_corrector_steps=4, max_steps_per_call=3)
+    key_init, key_p1, key_p2 = jax.random.split(rng_key, 3)
+    composition = generator.initialize(key_init, 5)
+    composition = generator.sample_window(key_p1, composition, N_STEPS, 3)
+    final = hot.sample_window(key_p2, composition, 3, 0)
+    a = np.asarray(final.A)
+    x = np.asarray(final.X)
+    assert a.shape == (5, NATOMS)
+    assert (a != NUM_TYPES).all(), "MASK survived the two-phase trajectory"
+    assert (x >= 0).all() and (x < 1).all()
+    # Deterministic per key.
+    composition_2 = generator.initialize(key_init, 5)
+    composition_2 = generator.sample_window(key_p1, composition_2, N_STEPS, 3)
+    final_2 = hot.sample_window(key_p2, composition_2, 3, 0)
+    np.testing.assert_array_equal(x, np.asarray(final_2.X))

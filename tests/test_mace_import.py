@@ -113,6 +113,7 @@ def test_export_import_roundtrip(config, batch):
     )
 
 
+@pytest.mark.slow
 def test_missing_tensor_raises(config, batch):
     network = MaceScoreNetwork(config)
     params = network.init(jax.random.PRNGKey(0), batch)

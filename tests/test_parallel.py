@@ -48,6 +48,7 @@ def test_shard_batch_places_leading_axis(mesh):
         shard_batch({ATOM_TYPES: np.zeros((5, 4), np.int32)}, mesh)
 
 
+@pytest.mark.slow
 def test_sharded_sampling_matches_single_device(mesh):
     """The sharded PC trajectory must produce the same samples bit-for-bit."""
     from diffusion_for_multi_scale_molecular_dynamics_tpu.generators import (

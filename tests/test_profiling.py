@@ -1,5 +1,6 @@
 import logging
 import time
+import pytest
 
 from diffusion_for_multi_scale_molecular_dynamics_tpu.utils.profiling import (
     PhaseTimer,
@@ -22,6 +23,7 @@ def test_phase_timer_accumulates():
     assert not timer.summary()
 
 
+@pytest.mark.slow
 def test_trainer_records_phase_timings(tmp_path):
     import yaml
 
