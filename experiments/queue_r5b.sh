@@ -42,6 +42,27 @@ done
 log "=== r5b queue start ==="
 echo $$ > /tmp/queue.pid
 
+# ------------------------------------------ 0a: repaint gate r5 (quick, ~5 min)
+run_job repaint_gate_r5 \
+  timeout 2400 python experiments/repaint_si_2x2x2.py \
+  --samples 64 --batch 32 --repaint_atoms 8 \
+  --out experiments/repaint_si_2x2x2_r5.json
+run_job repaint_gate_coherent_r5 \
+  timeout 2400 python experiments/repaint_si_2x2x2.py \
+  --samples 64 --batch 32 --repaint_atoms 8 --coherent \
+  --out experiments/repaint_si_2x2x2_coherent_r5.json
+python experiments/repaint_gate.py \
+  experiments/repaint_si_2x2x2_r5.json \
+  experiments/repaint_si_2x2x2_coherent_r5.json >> out/repaint_gate_r5.log 2>&1 \
+  && log "repaint gate PASS" || log "repaint gate FAIL (see out/repaint_gate_r5.log)"
+
+
+# ------------------------------------------ 0b: MACE MXU-layout v1 arch timing
+run_job arch_timing_r5 \
+  timeout 2400 python experiments/arch_timing.py --batch 256 --mace_fused \
+  --out experiments/arch_timing_r5.json
+
+
 # ------------------------------------------ 1: SiGe 2x2x2 dataset (on-device MD)
 if [ ! -f data/sige_diffusion_2x2x2/train_run_6.parquet ]; then
   run_job sige_datagen_r5 \
@@ -54,7 +75,7 @@ fi
 
 # ------------------------------------------ 2: free-lattice EGNN train + eval
 run_job lattice_egnn_train_r5 \
-  timeout 10800 python -m diffusion_for_multi_scale_molecular_dynamics_tpu.train_diffusion \
+  timeout 7200 python -m diffusion_for_multi_scale_molecular_dynamics_tpu.train_diffusion \
   --config experiments/config_lattice_egnn_si_1x1x1_r5.yaml \
   --output out/lattice_egnn_si_1x1x1_r5
 if [ -d out/lattice_egnn_si_1x1x1_r5/best_model ]; then
@@ -70,7 +91,7 @@ run_job lattice_egnn_eval_r5 \
 
 # ------------------------------------------ 3: SiGe 2x2x2 train + eval
 run_job sige_2x2x2_train_r5 \
-  timeout 14400 python -m diffusion_for_multi_scale_molecular_dynamics_tpu.train_diffusion \
+  timeout 10800 python -m diffusion_for_multi_scale_molecular_dynamics_tpu.train_diffusion \
   --config experiments/config_sige_2x2x2_r5.yaml \
   --output out/sige_2x2x2_r5
 if [ -d out/sige_2x2x2_r5/best_model ]; then
@@ -83,19 +104,5 @@ run_job sige_2x2x2_eval_r5 \
   --checkpoint experiments/sige_2x2x2_r5_checkpoint --prefer best \
   --natoms 64 --cell 11.086 11.086 11.086 --samples 256 --steps 1000 \
   --out experiments/sige_2x2x2_eval_r5.json
-
-# ------------------------------------------ 4: repaint gate r5 (default auto-eps)
-run_job repaint_gate_r5 \
-  timeout 2400 python experiments/repaint_si_2x2x2.py \
-  --samples 64 --batch 32 --repaint_atoms 8 \
-  --out experiments/repaint_si_2x2x2_r5.json
-run_job repaint_gate_coherent_r5 \
-  timeout 2400 python experiments/repaint_si_2x2x2.py \
-  --samples 64 --batch 32 --repaint_atoms 8 --coherent \
-  --out experiments/repaint_si_2x2x2_coherent_r5.json
-python experiments/repaint_gate.py \
-  experiments/repaint_si_2x2x2_r5.json \
-  experiments/repaint_si_2x2x2_coherent_r5.json >> out/repaint_gate_r5.log 2>&1 \
-  && log "repaint gate PASS" || log "repaint gate FAIL (see out/repaint_gate_r5.log)"
 
 log "=== r5b queue done ==="
