@@ -268,17 +268,21 @@ class MaceInteraction(nn.Module):
     # counts. Same parameters, same algebra; backward falls back to the
     # dense reference through a custom VJP.
     use_fused_edge_kernel: bool = False
-    # Edge-stage formulation (round-5 MXU layout v1):
-    #   "j_gemm"   — contract the pair axis J inside MXU-shaped batched
-    #                GEMMs (ops/irreps_layers.weighted_tensor_product_
-    #                j_contracted); the [B,N,J,target_dim] per-edge message
-    #                tensor that dominated the dense path's HBM traffic
-    #                (round-4 cost anatomy, 3.6% MFU) never materializes.
-    #   "messages" — materialize per-edge messages then sum over J (the
-    #                round-1..4 dense path; bit-for-bit the original order).
-    # Same algebra either way (parity pinned to ~1e-6 relative by
-    # tests/test_irreps_layers.py).
-    edge_contraction: str = "j_gemm"
+    # Edge-stage formulation:
+    #   "messages" — materialize per-edge messages then sum over J. The
+    #                DEFAULT: measured fastest on v5e (6.94 ms fwd at the
+    #                arch-timing shape, arch_timing_r5.json).
+    #   "j_gemm"   — round-5 MXU-layout v1: contract the pair axis J inside
+    #                batched GEMMs (ops/irreps_layers.weighted_tensor_
+    #                product_j_contracted) so the [B,N,J,target_dim] message
+    #                tensor never materializes. MEASURED 1.38x SLOWER
+    #                (9.60 ms): XLA materializes the [B,N,J,(p,u,a)] left
+    #                operand instead of fusing the broadcast product into
+    #                the dot read, so the traffic moves rather than
+    #                disappears. Kept as the documented measured-negative
+    #                variant; same algebra either way (parity ~1e-6,
+    #                tests/test_irreps_layers.py).
+    edge_contraction: str = "messages"
 
     @nn.compact
     def __call__(self, node_feats, node_attrs, harmonics, distances, pair_mask):
@@ -441,7 +445,7 @@ class MaceFeatureExtractor(nn.Module):
     avg_num_neighbors: float = 1.0
     radial_mlp: Tuple[int, ...] = (64, 64, 64)
     use_fused_edge_kernel: bool = False
-    edge_contraction: str = "j_gemm"
+    edge_contraction: str = "messages"
 
     @nn.compact
     def __call__(self, node_attrs, vectors, distances, pair_mask, conditioning=None):

@@ -106,11 +106,11 @@ class MaceScoreNetworkConfig(ScoreNetworkConfig):
     # parameters and algebra as the dense path, per-pair tensors kept in
     # VMEM. Checkpoint-compatible in both directions (no layout change).
     use_fused_edge_kernel: bool = False
-    # Edge-stage formulation: "j_gemm" (round-5 default — contract the pair
-    # axis inside MXU-shaped GEMMs, no per-edge message tensor) or
-    # "messages" (the original materialize-then-sum order). Same algebra,
-    # checkpoint-compatible both ways (mace_modules.MaceInteraction).
-    edge_contraction: str = "j_gemm"
+    # Edge-stage formulation: "messages" (default — measured fastest,
+    # arch_timing_r5.json) or "j_gemm" (round-5 MXU-layout v1, measured
+    # 1.38x slower; see mace_modules.MaceInteraction). Same algebra,
+    # checkpoint-compatible both ways.
+    edge_contraction: str = "messages"
 
     def __post_init__(self):
         assert self.prediction_head in ("mlp", "equivariant")

@@ -151,6 +151,8 @@ def main(argv=None):
         ("mace_j_gemm", {"edge_contraction": "j_gemm"}),
         ("mace_j_gemm_bf16",
          {"edge_contraction": "j_gemm", "compute_dtype": "bfloat16"}),
+        ("mace_messages_bf16",
+         {"edge_contraction": "messages", "compute_dtype": "bfloat16"}),
     ]:
         hyper = yaml.safe_load(yaml.safe_dump(mace_hyper))
         hyper["model"]["score_network"].update(overrides)
