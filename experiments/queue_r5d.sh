@@ -44,6 +44,14 @@ done
 log "=== r5d queue start (bonus) ==="
 echo $$ > /tmp/queue.pid
 
+# Free-lattice eval with the production reheat calibration (the r5c eval
+# ran tau=1.0 defaults; every fixed-lattice gate needed tau ~1.2).
+run_job lattice_egnn_eval_reheat_r5 \
+  timeout 3600 python experiments/eval_lattice_diffusion.py \
+  --checkpoint experiments/lattice_egnn_si_1x1x1_r5_checkpoint --prefer best \
+  --samples 256 --correctors 3 --noise_temperature 1.22 --sigma_window 0.02 \
+  --out experiments/lattice_diffusion_eval_reheat_r5.json
+
 run_job eval_si3_c6_tau1312_r5 \
   timeout 7200 python experiments/eval_checkpoint.py \
   --checkpoint experiments/si_3x3x3_checkpoint_r3l_fused --prefer last \
