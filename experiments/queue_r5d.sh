@@ -44,6 +44,15 @@ done
 log "=== r5d queue start (bonus) ==="
 echo $$ > /tmp/queue.pid
 
+# Corrected SiGe 2x2x2 eval: the r5c job omitted --data, so its KS compared
+# against the 1x1x1 dataset. Quick (~4 min).
+run_job sige_2x2x2_eval_fix_r5 \
+  timeout 3600 python experiments/eval_sige.py \
+  --checkpoint experiments/sige_2x2x2_r5_checkpoint --prefer best \
+  --data data/sige_diffusion_2x2x2 \
+  --natoms 64 --cell 11.086 11.086 11.086 --samples 256 --steps 1000 \
+  --out experiments/sige_2x2x2_eval_r5.json
+
 # Free-lattice eval with the production reheat calibration (the r5c eval
 # ran tau=1.0 defaults; every fixed-lattice gate needed tau ~1.2).
 run_job lattice_egnn_eval_reheat_r5 \
