@@ -51,6 +51,18 @@ def get_repaint_generation_pieces(
         "excise_and_repaint needs a trained score-network checkpoint"
     )
     axl_network = load_axl_network_from_checkpoint(score_network_checkpoint)
+    # Optional repulsive pseudo-force (the production sampling configs run
+    # with it; round-5 AL ladder showed 5/24 repaint candidates with
+    # overlapping pairs without it): force_field: [radial_cutoff, strength].
+    force_field = repaint_config.get("force_field")
+    if force_field is not None:
+        from ..models.force_field_augmented_score_network import (
+            wrap_axl_network_with_force_field,
+        )
+
+        axl_network = wrap_axl_network_with_force_field(
+            axl_network, float(force_field[0]), float(force_field[1])
+        )
     return noise_parameters, sampling_parameters, axl_network
 
 

@@ -91,3 +91,46 @@ class ForceFieldAugmentedScoreNetwork:
         return get_relative_coordinates_from_cartesian_positions(
             cartesian_forces, reciprocal
         )
+
+
+def wrap_axl_network_with_force_field(
+    axl_network, radial_cutoff: float, strength: float
+):
+    """Add the repulsive pseudo-force while preserving the fast path.
+
+    ``load_axl_network_from_checkpoint`` returns
+    ``functools.partial(apply_fn, params)``; the Langevin generator detects
+    that exact shape and feeds the parameters to its compiled scan as
+    *arguments* (langevin_generator.py). A plain
+    ``ForceFieldAugmentedScoreNetwork`` hides the partial and drops the
+    generator to the closure path that bakes every weight into the HLO as
+    literals (minutes of client-side lowering per compiled variant). The
+    pseudo-force is a pure function of the batch, so for a bare partial we
+    rebuild a new bare partial whose function applies the force after the
+    network; any other callable falls back to the plain wrapper.
+
+    (Promoted from experiments/_ff_partial.py in round 5 so production
+    surfaces — e.g. the active-learning sample maker's repaint generator —
+    can enable the force field from configuration.)
+    """
+    import functools
+
+    parameters = ForceFieldParameters(
+        radial_cutoff=radial_cutoff, strength=strength
+    )
+    if (
+        isinstance(axl_network, functools.partial)
+        and len(axl_network.args) == 1
+        and not axl_network.keywords
+    ):
+        base_apply = axl_network.func
+        params = axl_network.args[0]
+        force_field = ForceFieldAugmentedScoreNetwork(None, parameters)
+
+        def apply_with_force_field(p, batch):
+            raw = base_apply(p, batch)
+            forces = force_field.get_relative_coordinates_pseudo_force(batch)
+            return raw._replace(X=raw.X + forces)
+
+        return functools.partial(apply_with_force_field, params)
+    return ForceFieldAugmentedScoreNetwork(axl_network, parameters)

@@ -132,6 +132,9 @@ def main(argv=None):
                 "schedule_type": "linear",
                 "corrector_step_epsilon": "auto",
             },
+            # Production repulsive pseudo-force: without it the r5 ladder
+            # produced 5/24 overlapping candidates at n=64.
+            "force_field": [1.5, 20.0],
             "sampling": {
                 "algorithm": "predictor_corrector",
                 "num_atom_types": 2,

@@ -271,3 +271,73 @@ def test_extract_dump_with_uncertainty_column(tmp_path):
     np.testing.assert_allclose(structures[0].frac_coords[0], 0.1)  # sorted by id
     np.testing.assert_allclose(uncertainties[0], [0.2, 0.9])
     np.testing.assert_allclose(forces[0][0], [0.1, 0.0, 0.0])
+
+
+def test_repaint_config_force_field_wrapping(tmp_path, monkeypatch):
+    """repaint_generator.force_field wraps the checkpoint network with the
+    repulsive pseudo-force while preserving the params-as-arguments fast
+    path (round 5: the AL ladder produced overlapping candidates without
+    it)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.active_learning import (
+        configuration_parsing,
+    )
+    from diffusion_for_multi_scale_molecular_dynamics_tpu.namespace import (
+        NOISY_AXL_COMPOSITION, NOISE, TIME, CARTESIAN_FORCES,
+    )
+
+    def fake_apply(params, batch):
+        composition = batch[NOISY_AXL_COMPOSITION]
+        b, n = composition.A.shape
+        logits = jnp.zeros((b, n, 2)).at[..., -1].set(-jnp.inf)
+        return AXL(
+            A=logits,
+            X=jnp.zeros_like(composition.X),
+            L=jnp.zeros_like(composition.L),
+        )
+
+    monkeypatch.setattr(
+        "diffusion_for_multi_scale_molecular_dynamics_tpu.utils.restore."
+        "load_axl_network_from_checkpoint",
+        lambda path, prefer="best": functools.partial(fake_apply, {"w": 1.0}),
+    )
+    config = {
+        "noise": {
+            "total_time_steps": 5, "sigma_min": 1e-3, "sigma_max": 0.3,
+            "schedule_type": "linear",
+        },
+        "force_field": [1.5, 20.0],
+        "sampling": {
+            "algorithm": "predictor_corrector",
+            "num_atom_types": 1,
+            "number_of_atoms": 4,
+            "number_of_samples": 2,
+            "number_of_corrector_steps": 0,
+            "use_fixed_lattice_parameters": True,
+            "cell_dimensions": [6.0, 6.0, 6.0],
+        },
+    }
+    _, _, network = configuration_parsing.get_repaint_generation_pieces(
+        config, "fake_checkpoint"
+    )
+    # Fast path preserved: still a bare (fn, params) partial.
+    assert isinstance(network, functools.partial)
+    assert len(network.args) == 1 and not network.keywords
+
+    # Two overlapping atoms: the pseudo-force must push a nonzero X score.
+    x = jnp.asarray([[[0.50, 0.5, 0.5], [0.52, 0.5, 0.5],
+                      [0.10, 0.1, 0.1], [0.90, 0.9, 0.9]]])
+    batch = {
+        NOISY_AXL_COMPOSITION: AXL(
+            A=jnp.zeros((1, 4), jnp.int32), X=x,
+            L=jnp.asarray([[6.0, 6.0, 6.0, 0.0, 0.0, 0.0]]),
+        ),
+        NOISE: jnp.full((1, 1), 0.1),
+        TIME: jnp.full((1, 1), 0.5),
+        CARTESIAN_FORCES: jnp.zeros((1, 4, 3)),
+    }
+    out = network(batch)
+    assert float(jnp.abs(out.X).max()) > 0.0
